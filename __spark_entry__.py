@@ -1,38 +1,104 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: spatialgraft — PySpark-native spatial-join + tiling engine
+(SURVEY.md §2 operator inventory).  Every query below runs the FULL
+engine path: synthesize the spans-shaped documents table (input_hint)
+-> vectorized Arrow span->geometry extraction -> DataFrame spatial op.
+Oracles re-derive identical geometry straight from the parquet tables
+via shared int64 arithmetic (spatialgraft.sqlgen).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spatialgraft import config as C  # noqa: E402
+from spatialgraft import datagen  # noqa: E402
+from spatialgraft.extract import with_geometry  # noqa: E402
+from spatialgraft.oracles import HOTSPOT  # noqa: E402
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_geometry(datagen.documents_spans(spark, sf_dir))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial range-join with per-box count on sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    from spatialgraft.ops import range as rops
+    return rops.range_join_count(_points(spark, sf),
+                                 datagen.query_boxes(spark, sf))
+
+
+# ----------------------------------------------------------------- queries
+
+def _q_range_join_count(spark, sf_dir):
+    from spatialgraft.ops import range as rops
+    return rops.range_join_count(_points(spark, sf_dir),
+                                 datagen.query_boxes(spark, sf_dir))
+
+
+def _q_range_join_pairs(spark, sf_dir):
+    from spatialgraft.ops import range as rops
+    return rops.range_join(_points(spark, sf_dir),
+                           datagen.query_boxes(spark, sf_dir))
+
+
+def _q_range_filter(spark, sf_dir):
+    from spatialgraft.ops import range as rops
+    return rops.range_filter(_points(spark, sf_dir), *HOTSPOT).select(
+        "doc_key", "mx", "my")
+
+
+def _q_spatio_textual(spark, sf_dir):
+    from spatialgraft.ops import range as rops
+    return rops.spatio_textual_filter(
+        _points(spark, sf_dir), *HOTSPOT, "flag R").select("doc_key")
+
+
+def _q_knn_join(spark, sf_dir):
+    from spatialgraft.ops import knn as kops
+    return kops.knn_join(_points(spark, sf_dir),
+                         datagen.knn_queries(spark, sf_dir), k=C.DEFAULT_K)
+
+
+def _q_pip_join_count(spark, sf_dir):
+    from spatialgraft.ops import pip as pops
+    return pops.pip_join_count(_points(spark, sf_dir),
+                               datagen.polygons(spark, sf_dir))
+
+
+def _q_tiles_points(spark, sf_dir):
+    from spatialgraft.ops import tiles as tops
+    return tops.assign_tiles_points(_points(spark, sf_dir))
+
+
+def _q_tiles_boxes(spark, sf_dir):
+    from spatialgraft.ops import tiles as tops
+    return tops.tiles_for_boxes(datagen.query_boxes(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "range_join_count": _q_range_join_count,
+        "range_join_pairs": _q_range_join_pairs,
+        "range_filter": _q_range_filter,
+        "spatio_textual_filter": _q_spatio_textual,
+        "knn_join": _q_knn_join,
+        "pip_join_count": _q_pip_join_count,
+        "tiles_points": _q_tiles_points,
+        "tiles_boxes": _q_tiles_boxes,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spatialgraft.oracles import all_oracles
+    return all_oracles(k=C.DEFAULT_K)

@@ -1,0 +1,96 @@
+"""Benchmark harness.
+
+Default mode: run the headline spatial suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf", ...}.
+
+--scaling mode: run the same suite in two fresh subprocess JVMs at
+local[N] and local[4N] (default N=8) and report throughput at both plus
+scaling efficiency = (thr_4N / thr_N) / 4 — the sandbox stand-in for the
+N->4N executor gate (no real cluster here; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_suite(sf_dir: str, cpus: int) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from spatialgraft.session import get_spark
+
+    spark = get_spark("spatialgraft-bench", cpus=cpus)
+    qs = entrymod.queries()
+    headline = ["range_join_count", "range_join_pairs", "knn_join",
+                "pip_join_count", "tiles_points", "tiles_boxes"]
+    headline = [h for h in headline if h in qs]
+
+    # warm the JVM + parquet footers once, outside the measured region
+    qs[headline[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_all = time.perf_counter()
+    for name in headline:
+        t0 = time.perf_counter()
+        rows[name] = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = time.perf_counter() - t_all
+
+    n_docs = spark.sql(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber "
+        f"FROM parquet.`{sf_dir}/lineitem.parquet`)").collect()[0][0]
+    spark.stop()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "spatial_suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "n_docs": int(n_docs),
+        "docs_per_sec": round(n_docs * len(headline) / total, 1),
+        "result_rows": rows,
+    }
+
+
+def run_scaling(sf_dir: str, n: int = 8) -> dict:
+    out = {}
+    for cpus in (n, 4 * n):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env)
+        line = r.stdout.strip().splitlines()[-1]
+        out[cpus] = json.loads(line)
+    thr_n = out[n]["docs_per_sec"]
+    thr_4n = out[4 * n]["docs_per_sec"]
+    eff = (thr_4n / thr_n) / 4 if thr_n else 0.0
+    return {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "N": n,
+        "docs_per_sec_N": thr_n,
+        "docs_per_sec_4N": thr_4n,
+        "wall_sec_N": out[n]["value"],
+        "wall_sec_4N": out[4 * n]["value"],
+        "sf": out[n]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_suite(sf_dir, cpus)))

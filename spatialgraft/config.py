@@ -1,0 +1,62 @@
+"""Engine-wide constants.
+
+Coordinate system: the world box lon[-180,180) x lat[-90,90) is modeled in
+*milli-degree integer space* ``mx in [0, 360000)``, ``my in [0, 180000)``
+(``x = (mx-180000)/1000``, ``y = (my-90000)/1000``).  All containment /
+point-in-polygon / tile predicates are evaluated on int64 milli values, so
+the engine and the DuckDB oracle agree bit-exactly with no float-boundary
+hazards (the reference computes border-inclusive contains on Float32,
+reference/src/main/scala/cs/purdue/edu/spatialindex/rtree/Geom.scala:85-86;
+we pin exact integer semantics instead).
+"""
+
+# World extent in milli-degrees.
+WORLD_MX = 360_000
+WORLD_MY = 180_000
+
+# Grid level: CX x CY cells over the world.  Role of the reference's
+# Hilbert/quadkey cell ids (reference sfcurve.scala:28-148) — here a flat
+# grid id `cell = cell_x * CY + cell_y` with exact integer assignment
+# `cell_x = mx * CX div WORLD_MX`.  CX*CY = 32768 cells: small enough that
+# per-cell stats collect to the driver even at 10^12 rows (stats are
+# O(#cells), never O(#rows)).
+CELL_CX = 256
+CELL_CY = 128
+N_CELLS = CELL_CX * CELL_CY
+
+# Tile level for raster<->vector tile assignment (finer than join cells).
+TILE_TX = 1024
+TILE_TY = 512
+
+# Default number of spatial partitions for the skew-aware partitioner
+# (reference default 500 partitions, spatialrdd/impl/Util.scala:21 — we
+# size to the local sandbox; at cluster scale pass n_partitions explicitly).
+DEFAULT_PARTITIONS = 64
+
+# Skew handling: a cell whose row count exceeds `mean * SKEW_RATIO` gets
+# salted into ceil(count / target) splits (reference threshold ratio 3,
+# scheduler/skewAnalysis.scala:145-160).
+SKEW_RATIO = 3.0
+
+# --- deterministic data derivation constants (shared Spark/DuckDB) ------
+# Points are derived from `lineitem` (doc_key = l_orderkey*8+l_linenumber),
+# boxes from `part`, kNN query points from `orders`, polygons from `part`.
+# 20% of points / 25% of boxes / ~17% of kNN queries land in a hotspot
+# box lon[-30,-10) x lat[10,20) to exercise the skew path (mirrors the
+# gaussian-cluster generators the reference tests use,
+# test/.../quadtree/testQuadtreeS.scala:17-35).
+PT_A1, PT_B1 = 2654435761, 1013904223
+PT_A2, PT_B2 = 2246822519, 880406837
+HOT_MX0, HOT_MXW = 150_000, 20_000
+HOT_MY0, HOT_MYW = 100_000, 10_000
+
+BOX_A1, BOX_B1 = 40503, 9999991
+BOX_A2, BOX_B2 = 65537, 7777777
+
+QRY_A1, QRY_B1 = 2654435761, 11
+QRY_A2, QRY_B2 = 2246822519, 17
+
+# Convex hexagon template (CCW, integer offsets scaled by radius r).
+HEX_OFFSETS = [(2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2)]
+
+DEFAULT_K = 10

@@ -1,0 +1,74 @@
+"""Span -> geometry extraction as a vectorized Arrow operator.
+
+Replaces the reference's per-line WKT parse
+(reference/src/main/scala/cs/purdue/edu/examples/SpatialJoinApp.scala:60-79)
+with a single `mapInArrow` pass: pyarrow compute kernels only, no per-row
+Python.  Input rows keep their `spans` column untouched (span-sequence
+invariant); the pass appends
+  doc_key bigint, mx/my bigint (exact milli coords), x/y double, text string.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+
+GEOM_FIELDS = ("doc_key bigint, mx bigint, my bigint, "
+               "x double, y double, text string")
+
+_POINT_RE = r"POINT\((?P<gmx>\d+) (?P<gmy>\d+)\)"
+
+
+def _one_per_parent(values: pa.Array, parents: pa.Array, n_rows: int,
+                    what: str) -> pa.Array:
+    if len(values) != n_rows:
+        raise ValueError(
+            f"expected exactly one {what} span per document; "
+            f"got {len(values)} spans for {n_rows} rows")
+    return values
+
+
+def _extract_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    spans = batch.column("spans")
+    n = batch.num_rows
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    kinds = pc.struct_field(flat, "kind")
+    texts = pc.struct_field(flat, "text")
+
+    geo_mask = pc.equal(kinds, "geo")
+    geo_text = _one_per_parent(pc.filter(texts, geo_mask),
+                               pc.filter(parents, geo_mask), n, "geo")
+    parsed = pc.extract_regex(geo_text, _POINT_RE)
+    mx = pc.cast(pc.struct_field(parsed, "gmx"), pa.int64())
+    my = pc.cast(pc.struct_field(parsed, "gmy"), pa.int64())
+    if mx.null_count or my.null_count:
+        raise ValueError("unparseable geo span encountered")
+
+    txt_mask = pc.equal(kinds, "text")
+    txt = _one_per_parent(pc.filter(texts, txt_mask),
+                          pc.filter(parents, txt_mask), n, "text")
+
+    f64 = pa.float64()
+    x = pc.divide(pc.cast(pc.subtract(mx, 180000), f64), 1000.0)
+    y = pc.divide(pc.cast(pc.subtract(my, 90000), f64), 1000.0)
+    doc_key = pc.cast(batch.column("doc_id"), pa.int64())
+
+    arrays = list(batch.columns) + [doc_key, mx, my, x, y, txt]
+    names = list(batch.schema.names) + ["doc_key", "mx", "my", "x", "y",
+                                        "text"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def with_geometry(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans, ...) -> same + geometry columns."""
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in docs.schema.fields)
+    out_schema = f"{in_schema}, {GEOM_FIELDS}"
+
+    def fn(batches):
+        for b in batches:
+            yield _extract_batch(b)
+
+    return docs.mapInArrow(fn, out_schema)

@@ -1,0 +1,81 @@
+"""Range query / spatial range join / range-aggregate join.
+
+Spark-first realization of the reference's centerpiece joins
+(`sjoin` reference/src/main/scala/cs/purdue/edu/spatialrdd/SpatialRdd.scala:264-284,
+`rjoin` :298-322, `rangeFilter` :117-147):
+query boxes are multicast to their covering grid cells (cover_cells), the
+points side carries the same cell id, and Catalyst runs a hash equi-join on
+`cell` followed by an exact int64 refine predicate — the dual-tree local
+join (RTree.scala:185-300) collapses into join+filter with AQE handling
+skew at runtime.  Aggregation rides Catalyst's partial+final hash agg
+(replacing the hand-rolled flush at RTree.scala:315-356).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cells import cover_cells, with_cell
+
+CONTAINS = ("mx >= xmin AND mx <= xmax AND "
+            "my >= ymin AND my <= ymax")
+
+# Broadcast the multicast query side when it is plausibly small.  At
+# cluster scale the caller should pass broadcast_queries=False for huge
+# query sets; AQE still picks broadcast if runtime stats allow.
+_BROADCAST_DEFAULT = True
+
+
+def _joined(points: DataFrame, boxes: DataFrame,
+            broadcast_queries: bool = _BROADCAST_DEFAULT) -> DataFrame:
+    """points (with mx,my) x boxes (milli bbox) -> matched pairs."""
+    pts = with_cell(points)
+    cover = cover_cells(boxes)
+    if broadcast_queries:
+        cover = F.broadcast(cover)
+    return pts.join(cover, on="cell", how="inner").where(F.expr(CONTAINS))
+
+
+def range_filter(points: DataFrame, xmin: int, ymin: int,
+                 xmax: int, ymax: int) -> DataFrame:
+    """Global range query (F1): plain pushed-down predicate.
+
+    Partition pruning comes free once data is written partitioned/sorted
+    by cell (reference prunes via the driver quadtree,
+    SpatialRdd.scala:117-143)."""
+    return points.where(
+        (F.col("mx") >= xmin) & (F.col("mx") <= xmax) &
+        (F.col("my") >= ymin) & (F.col("my") <= ymax))
+
+
+def range_join(points: DataFrame, boxes: DataFrame,
+               broadcast_queries: bool = _BROADCAST_DEFAULT) -> DataFrame:
+    """sjoin (J1): (box_id, doc_key) matched pairs.
+
+    Pairs are unique by construction — a point belongs to exactly one
+    cell and a box's cover lists each cell once — so no distinct shuffle
+    is needed (the reference dedupes because its multicast can route one
+    box to a partition several times, SpatialRdd.scala:264-284; our cell
+    cover cannot)."""
+    j = _joined(points, boxes, broadcast_queries)
+    return j.select("box_id", "doc_key")
+
+
+def range_join_count(points: DataFrame, boxes: DataFrame,
+                     broadcast_queries: bool = _BROADCAST_DEFAULT
+                     ) -> DataFrame:
+    """rjoin (J2) with count aggregate — the SpatialJoinApp query
+    (reference examples/SpatialJoinApp.scala:81-96)."""
+    # Within one box's cover, cells never overlap, so each (box, point)
+    # pair appears exactly once: count needs no dedup.
+    j = _joined(points, boxes, broadcast_queries)
+    return j.groupBy("box_id").agg(F.count("*").alias("cnt"))
+
+
+def spatio_textual_filter(points: DataFrame, xmin: int, ymin: int,
+                          xmax: int, ymax: int, needle: str) -> DataFrame:
+    """F5: range predicate AND text containment on the text span
+    (reference README.md:57-67)."""
+    return range_filter(points, xmin, ymin, xmax, ymax).where(
+        F.lower(F.col("text")).contains(needle.lower()))

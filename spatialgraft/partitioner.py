@@ -1,0 +1,112 @@
+"""Skew-aware global spatial partitioner.
+
+DataFrame re-design of the reference's sampled count-quadtree partitioner +
+query-load scheduler
+(reference/src/main/scala/cs/purdue/edu/spatialrdd/impl/SpatialPartitioner.scala:48-147,
+scheduler/joinScheduler.scala:102-167): instead of a driver-resident
+quadtree shipped in closures, we
+  1. compute an exact per-cell histogram (groupBy(cell).count() — O(#cells),
+     never O(#rows); at 10^12 rows this is still a 32k-row collect),
+  2. pack Z-order-sorted cells into `n_partitions` balanced bins on the
+     driver (locality-preserving, like the BFS leaf packing at
+     QtreePartionner.scala:113-144),
+  3. broadcast the cell -> (pid, nsplits) map back as a tiny DataFrame and
+     equi-join it on `cell`.
+Hot cells (count > mean * SKEW_RATIO) get `nsplits > 1` salt values — the
+explicit analogue of the reference's skew-partition split
+(skewAnalysis.scala:145-160), needed because AQE only splits the probe side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import config as C
+from .cells import with_cell, zorder_int
+
+
+@dataclass
+class SpatialPartitioning:
+    """Driver-side partitioning plan: cell -> (pid, nsplits)."""
+    assignment: dict[int, tuple[int, int]]
+    n_partitions: int
+    total_rows: int
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(cell, pid, nsplits)
+                for cell, (pid, nsplits) in self.assignment.items()]
+        return spark.createDataFrame(rows, "cell bigint, pid int, "
+                                           "nsplits int")
+
+    def pid_of(self, cell: int) -> int:
+        return self.assignment.get(int(cell), (0, 1))[0]
+
+
+def plan_partitions(points: DataFrame,
+                    n_partitions: int = C.DEFAULT_PARTITIONS,
+                    skew_ratio: float = C.SKEW_RATIO
+                    ) -> SpatialPartitioning:
+    """Exact cell histogram -> balanced Z-order bin-packing."""
+    hist = (with_cell(points)
+            .groupBy("cell").count()
+            .collect())  # <= N_CELLS rows
+    counts = {int(r["cell"]): int(r["count"]) for r in hist}
+    total = sum(counts.values())
+    if not total:
+        return SpatialPartitioning({}, n_partitions, 0)
+    target = max(1, total // n_partitions)
+    mean_cell = max(1.0, total / max(1, len(counts)))
+
+    assignment: dict[int, tuple[int, int]] = {}
+    pid, acc = 0, 0
+    for cell in sorted(counts, key=zorder_int):
+        cnt = counts[cell]
+        if acc > 0 and acc + cnt > target * 1.25 and pid < n_partitions - 1:
+            pid, acc = pid + 1, 0
+        nsplits = 1
+        if cnt > mean_cell * skew_ratio:
+            nsplits = min(n_partitions, max(1, round(cnt / target)) or 1)
+        assignment[cell] = (pid, nsplits)
+        acc += cnt
+    return SpatialPartitioning(assignment, n_partitions, total)
+
+
+def assign_pid(points: DataFrame, plan: SpatialPartitioning,
+               salt_col: str | None = "doc_key") -> DataFrame:
+    """Attach (pid, salted_pid) via a broadcast map join.
+
+    salted_pid spreads hot cells across `nsplits` partitions; the build
+    side of a join against salted data must replicate per salt
+    (see ops.knn stage 1)."""
+    spark = points.sparkSession
+    m = F.broadcast(plan.to_df(spark))
+    df = with_cell(points).join(m, on="cell", how="left").fillna(
+        {"pid": 0, "nsplits": 1})
+    if salt_col is None:
+        salt = F.lit(0)
+    else:
+        salt = F.pmod(F.xxhash64(F.col(salt_col)), F.col("nsplits"))
+    return df.withColumn(
+        "spid",
+        (F.col("pid").cast("long") * 4096 + salt).cast("long"))
+
+
+def replicate_per_salt(queries: DataFrame, plan: SpatialPartitioning
+                       ) -> DataFrame:
+    """Replicate each query row once per salt split of its cell, so a
+    salted-data join still sees every (query, data) pair exactly once."""
+    spark = queries.sparkSession
+    m = F.broadcast(plan.to_df(spark))
+    df = queries.join(m, on="cell", how="left").fillna(
+        {"pid": 0, "nsplits": 1})
+    return (df.withColumn(
+                "_salt",
+                F.explode(F.sequence(F.lit(0), F.col("nsplits") - 1)))
+              .withColumn(
+                "spid",
+                (F.col("pid").cast("long") * 4096 +
+                 F.col("_salt")).cast("long"))
+              .drop("_salt"))

@@ -1,0 +1,127 @@
+"""Shared SQL fragments for deterministic geometry derivation.
+
+The same arithmetic text is executed by Spark (via F.expr / spark.sql)
+when *synthesizing* the spans-shaped documents table, and by DuckDB when
+running the oracle.  Everything is int64 modular arithmetic on positive
+values, so the two engines agree bit-exactly.  Only two dialect
+differences exist (string cast type, integer division operator) and both
+are handled here.
+
+Derivations:
+  points   <- lineitem  (doc_key = l_orderkey*8 + l_linenumber)
+  boxes    <- part      (box_id  = p_partkey)
+  knn_pts  <- orders    (qid     = o_orderkey, every 16th order)
+  polygons <- part      (poly_id = p_partkey, partkeys % 3 == 1)
+"""
+
+from . import config as C
+
+
+def _str_t(dialect: str) -> str:
+    return "STRING" if dialect == "spark" else "VARCHAR"
+
+
+def idiv(a: str, b: str, dialect: str) -> str:
+    op = " div " if dialect == "spark" else " // "
+    return f"(({a}){op}({b}))"
+
+
+def points_cte(dialect: str = "duckdb") -> str:
+    """Point derivation from lineitem: doc_key, mx, my, x, y, textline.
+
+    (l_orderkey, l_linenumber) pairs are NOT unique in the driver's
+    synthetic lineitem, so the document set is the DISTINCT pair set and
+    every derived column is a pure function of doc_key k."""
+    k = "k"
+    inner = ("SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 8 "
+             "+ CAST(l_linenumber AS BIGINT) AS k FROM lineitem")
+    h1 = f"(({k} * {C.PT_A1} + {C.PT_B1}) % {C.WORLD_MX})"
+    h2 = f"(({k} * {C.PT_A2} + {C.PT_B2}) % {C.WORLD_MY})"
+    mx = (f"(CASE WHEN {k} % 5 = 0 THEN {C.HOT_MX0} + ({h1} % {C.HOT_MXW}) "
+          f"ELSE {h1} END)")
+    my = (f"(CASE WHEN {k} % 5 = 0 THEN {C.HOT_MY0} + ({h2} % {C.HOT_MYW}) "
+          f"ELSE {h2} END)")
+    text = (f"printf('item %d flag %s status %s', {k}, "
+            f"CASE WHEN {k} % 3 = 0 THEN 'R' WHEN {k} % 3 = 1 "
+            f"THEN 'A' ELSE 'N' END, "
+            f"CASE WHEN {k} % 2 = 0 THEN 'O' ELSE 'F' END)")
+    return (f"SELECT {k} AS doc_key, "
+            f"CAST({k} AS {_str_t(dialect)}) AS doc_id, "
+            f"{mx} AS mx, {my} AS my, "
+            f"(CAST({mx} AS DOUBLE) - 180000) / 1000.0 AS x, "
+            f"(CAST({my} AS DOUBLE) - 90000) / 1000.0 AS y, "
+            f"{text} AS textline "
+            f"FROM ({inner}) base")
+
+
+def boxes_cte(dialect: str = "duckdb") -> str:
+    """Query-box derivation from part: box_id, xmin..ymax (milli ints)."""
+    b = "CAST(p_partkey AS BIGINT)"
+    g1 = f"(({b} * {C.BOX_A1} + {C.BOX_B1}) % {C.WORLD_MX})"
+    g2 = f"(({b} * {C.BOX_A2} + {C.BOX_B2}) % {C.WORLD_MY})"
+    cx = (f"(CASE WHEN {b} % 4 = 0 THEN {C.HOT_MX0} + ({g1} % {C.HOT_MXW}) "
+          f"ELSE {g1} END)")
+    cy = (f"(CASE WHEN {b} % 4 = 0 THEN {C.HOT_MY0} + ({g2} % {C.HOT_MYW}) "
+          f"ELSE {g2} END)")
+    bw = f"(2000 + ({b} * 37) % 8000)"
+    bh = f"(1000 + ({b} * 53) % 4000)"
+    return (f"SELECT {b} AS box_id, "
+            f"GREATEST(0, {cx} - {bw}) AS xmin, "
+            f"GREATEST(0, {cy} - {bh}) AS ymin, "
+            f"LEAST({C.WORLD_MX - 1}, {cx} + {bw}) AS xmax, "
+            f"LEAST({C.WORLD_MY - 1}, {cy} + {bh}) AS ymax "
+            f"FROM part")
+
+
+def knn_queries_cte(dialect: str = "duckdb") -> str:
+    """kNN query points from orders (every 16th): qid, qmx, qmy, qx, qy."""
+    q = "CAST(o_orderkey AS BIGINT)"
+    q1 = f"(({q} * {C.QRY_A1} + {C.QRY_B1}) % {C.WORLD_MX})"
+    q2 = f"(({q} * {C.QRY_A2} + {C.QRY_B2}) % {C.WORLD_MY})"
+    qmx = (f"(CASE WHEN {q} % 6 = 0 THEN {C.HOT_MX0} + ({q1} % {C.HOT_MXW}) "
+           f"ELSE {q1} END)")
+    qmy = (f"(CASE WHEN {q} % 6 = 0 THEN {C.HOT_MY0} + ({q2} % {C.HOT_MYW}) "
+           f"ELSE {q2} END)")
+    return (f"SELECT {q} AS qid, {qmx} AS qmx, {qmy} AS qmy, "
+            f"(CAST({qmx} AS DOUBLE) - 180000) / 1000.0 AS qx, "
+            f"(CAST({qmy} AS DOUBLE) - 90000) / 1000.0 AS qy "
+            f"FROM orders WHERE {q} % 16 = 0")
+
+
+def polygons_cte(dialect: str = "duckdb") -> str:
+    """Convex-hexagon polygons from part (% 3 == 1 subset).
+
+    Emits poly_id, center (pcx,pcy), radius r, and the 6 vertices as
+    columns vx0..vy5 (milli ints) plus the bbox.  Vertices are
+    center + r * HEX_OFFSETS[i] — exact int64.
+    """
+    b = "CAST(p_partkey AS BIGINT)"
+    g1 = f"(({b} * {C.BOX_A1} + 333667) % 350000)"
+    g2 = f"(({b} * {C.BOX_A2} + 123457) % 170000)"
+    pcx = f"(5000 + {g1})"
+    pcy = f"(5000 + {g2})"
+    r = f"(500 + ({b} * 29) % 2500)"
+    cols = [f"{b} AS poly_id", f"{pcx} AS pcx", f"{pcy} AS pcy", f"{r} AS r"]
+    for i, (ox, oy) in enumerate(C.HEX_OFFSETS):
+        cols.append(f"({pcx} + ({r}) * {ox}) AS vx{i}")
+        cols.append(f"({pcy} + ({r}) * {oy}) AS vy{i}")
+    cols.append(f"({pcx} - ({r}) * 2) AS xmin")
+    cols.append(f"({pcx} + ({r}) * 2) AS xmax")
+    cols.append(f"({pcy} - ({r}) * 2) AS ymin")
+    cols.append(f"({pcy} + ({r}) * 2) AS ymax")
+    return ("SELECT " + ", ".join(cols) +
+            f" FROM part WHERE {b} % 3 = 1")
+
+
+def pip_predicate(px: str, py: str, prefix: str = "") -> str:
+    """Border-inclusive point-in-convex-polygon as a conjunction of 6
+    exact int64 cross-product tests (CCW ring => all crosses >= 0)."""
+    n = len(C.HEX_OFFSETS)
+    terms = []
+    for i in range(n):
+        j = (i + 1) % n
+        x1, y1 = f"{prefix}vx{i}", f"{prefix}vy{i}"
+        x2, y2 = f"{prefix}vx{j}", f"{prefix}vy{j}"
+        terms.append(f"(({x2}-{x1})*(({py})-{y1}) - "
+                     f"({y2}-{y1})*(({px})-{x1}) >= 0)")
+    return "(" + " AND ".join(terms) + ")"
