@@ -84,6 +84,72 @@ def _q_tiles_boxes(spark, sf_dir):
     return tops.tiles_for_boxes(datagen.query_boxes(spark, sf_dir))
 
 
+def _docs(spark, sf_dir):
+    from spatialgraft.session import load_table
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    from spatialgraft.session import load_table
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _q_token_stats(spark, sf_dir):
+    from spatialgraft.pipeline import textstats
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from spatialgraft.pipeline import textstats
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from spatialgraft.pipeline import textstats
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from spatialgraft.pipeline import dedup
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from spatialgraft.pipeline import dedup
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), tau=0.5)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from spatialgraft.pipeline import dedup
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from spatialgraft.pipeline import dedup
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from spatialgraft.pipeline import dedup
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from spatialgraft.pipeline import similarity
+    return similarity.cosine_topk(_emb(spark, sf_dir))
+
+
+def _q_lsh_ann(spark, sf_dir):
+    from spatialgraft.pipeline import similarity
+    return similarity.lsh_ann(_emb(spark, sf_dir))
+
+
+def _q_media_decode(spark, sf_dir):
+    from spatialgraft.pipeline import multimodal
+    pts = _points(spark, sf_dir)
+    return multimodal.decode_features(multimodal.media_refs(pts))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_join_count": _q_range_join_count,
@@ -94,11 +160,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_count": _q_pip_join_count,
         "tiles_points": _q_tiles_points,
         "tiles_boxes": _q_tiles_boxes,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_ann": _q_lsh_ann,
+        "media_decode": _q_media_decode,
     }
 
 
 # ------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    from spatialgraft.oracles import all_oracles
-    return all_oracles(k=C.DEFAULT_K)
+    from spatialgraft.oracles import all_oracles, pipeline_oracles
+    return {**all_oracles(k=C.DEFAULT_K), **pipeline_oracles()}

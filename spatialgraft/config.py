@@ -60,3 +60,38 @@ QRY_A2, QRY_B2 = 2246822519, 17
 HEX_OFFSETS = [(2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2)]
 
 DEFAULT_K = 10
+
+# --- training-data pipeline constants (shared Spark/DuckDB) -------------
+# Char-level polynomial rolling hash: fold (acc*31 + ascii(c)) % FP_MOD.
+FP_MOD = 2147483647
+
+# Token shingling for near-dup detection.
+SHINGLE_K = 3
+
+# MinHash: H signature slots, B bands x R rows (H = B*R); slot i applies
+# (A[i]*h + B[i]) % FP_MOD to the shingle hash h.
+MINHASH_A = [1103515245, 1588635695, 1117695901, 1503765159,
+             1458777823, 2012747901, 1135016843, 1873672811]
+MINHASH_B = [12345, 390451, 586081, 908441, 136261, 270271, 565573, 66179]
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+BAND_MIX = 1000003
+
+# SimHash over shingle hashes (16-bit for oracle tractability) and the
+# near-dup hamming threshold.
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+
+# Text quality / language-id stopword lists (fixed order = tie order).
+STOP_WORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+LANG_STOPS = [
+    ("en", ["the", "and", "of", "a"]),
+    ("de", ["der", "die", "und", "nicht"]),
+    ("fr", ["le", "la", "et", "les"]),
+    ("es", ["el", "los", "y", "que"]),
+]
+
+# Similarity search.
+ANN_K = 5
+ANN_QUERY_MOD = 10      # vec_id % ANN_QUERY_MOD == 0 are the probe set
+LSH_SIGN_DIMS = 8       # sign bits of the first D dims form the bucket

@@ -28,10 +28,19 @@ _BROADCAST_DEFAULT = True
 
 
 def _joined(points: DataFrame, boxes: DataFrame,
-            broadcast_queries: bool = _BROADCAST_DEFAULT) -> DataFrame:
-    """points (with mx,my) x boxes (milli bbox) -> matched pairs."""
+            broadcast_queries: bool = _BROADCAST_DEFAULT,
+            presence: set[int] | None = None) -> DataFrame:
+    """points (with mx,my) x boxes (milli bbox) -> matched pairs.
+
+    `presence`: optional sFilter cell-presence set — multicast rows whose
+    cell holds no data are dropped before the shuffle
+    (spatialgraft.sfilter; exact version of the reference's sFilter
+    pruning, SBQTree.scala:46-257)."""
     pts = with_cell(points)
     cover = cover_cells(boxes)
+    if presence is not None:
+        from ..sfilter import prune_cover
+        cover = prune_cover(cover, presence)
     if broadcast_queries:
         cover = F.broadcast(cover)
     return pts.join(cover, on="cell", how="inner").where(F.expr(CONTAINS))
@@ -50,7 +59,8 @@ def range_filter(points: DataFrame, xmin: int, ymin: int,
 
 
 def range_join(points: DataFrame, boxes: DataFrame,
-               broadcast_queries: bool = _BROADCAST_DEFAULT) -> DataFrame:
+               broadcast_queries: bool = _BROADCAST_DEFAULT,
+               presence: set[int] | None = None) -> DataFrame:
     """sjoin (J1): (box_id, doc_key) matched pairs.
 
     Pairs are unique by construction — a point belongs to exactly one
@@ -58,18 +68,18 @@ def range_join(points: DataFrame, boxes: DataFrame,
     is needed (the reference dedupes because its multicast can route one
     box to a partition several times, SpatialRdd.scala:264-284; our cell
     cover cannot)."""
-    j = _joined(points, boxes, broadcast_queries)
+    j = _joined(points, boxes, broadcast_queries, presence)
     return j.select("box_id", "doc_key")
 
 
 def range_join_count(points: DataFrame, boxes: DataFrame,
-                     broadcast_queries: bool = _BROADCAST_DEFAULT
-                     ) -> DataFrame:
+                     broadcast_queries: bool = _BROADCAST_DEFAULT,
+                     presence: set[int] | None = None) -> DataFrame:
     """rjoin (J2) with count aggregate — the SpatialJoinApp query
     (reference examples/SpatialJoinApp.scala:81-96)."""
     # Within one box's cover, cells never overlap, so each (box, point)
     # pair appears exactly once: count needs no dedup.
-    j = _joined(points, boxes, broadcast_queries)
+    j = _joined(points, boxes, broadcast_queries, presence)
     return j.groupBy("box_id").agg(F.count("*").alias("cnt"))
 
 

@@ -65,3 +65,167 @@ def all_oracles(k: int = C.DEFAULT_K) -> dict[str, str]:
             f"(ymax * {C.TILE_TY}) // {C.WORLD_MY})) AS ty FROM bx) "
             f"SELECT box_id, tx * {C.TILE_TY} + ty AS tile FROM bxy"),
     }
+
+
+# ------------------------------------------------------------------------
+# Training-data pipeline oracles (documents / embeddings tables).
+# Same arithmetic as spatialgraft.pipeline.* — left folds and integer
+# hashing reproduce Spark's values bit-exactly.
+
+_TOKS = "string_split_regex(trim(text), ' +')"
+
+
+def _fold(s: str) -> str:
+    # BIGINT seed keeps the whole fold in int64 (acc*31 + 255 < 2^36)
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[CAST(ascii(c) AS BIGINT) for c in string_split({s}, '')]), "
+            f"(a, b) -> (a * 31 + b) % {C.FP_MOD})")
+
+
+def _shingles_cte() -> str:
+    k = C.SHINGLE_K
+    return (
+        f"toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "shs AS (SELECT doc_id, unnest([array_to_string(t[i:i+"
+        f"{k - 1}], ' ') for i in range(1, len(t) - {k - 2})]) AS s "
+        f"FROM toks WHERE len(t) >= {k}), "
+        f"sh AS (SELECT DISTINCT doc_id, {_fold('s')} AS h FROM shs)")
+
+
+def _dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(0.0, "
+            f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+            f"for i in range(1, len({a}) + 1)]), (x, y) -> x + y)")
+
+
+def pipeline_oracles() -> dict[str, str]:
+    stops = ", ".join(f"'{w}'" for w in C.STOP_WORDS)
+    n_tok = f"len({_TOKS})"
+    n_stop = f"len(list_filter({_TOKS}, t -> t IN ({stops})))"
+
+    lang_case = "CASE "
+    scores = []
+    for lang, st in C.LANG_STOPS:
+        inl = ", ".join(f"'{w}'" for w in st)
+        scores.append((lang, f"len(list_filter({_TOKS}, "
+                             f"t -> t IN ({inl})))"))
+    for i, (lang, s) in enumerate(scores):
+        others = " AND ".join(f"{s} >= {s2}"
+                              for j, (_, s2) in enumerate(scores) if j > i)
+        cond = f"{s} > 0" + (f" AND {others}" if others else "")
+        lang_case += f"WHEN {cond} THEN '{lang}' "
+    lang_case += "ELSE 'unknown' END"
+
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {C.FP_MOD}) AS s{i}"
+        for i, (a, b) in enumerate(zip(C.MINHASH_A, C.MINHASH_B)))
+    band_selects = []
+    for band in range(C.MINHASH_BANDS):
+        lo = band * C.MINHASH_ROWS
+        mix = f"s{lo}"
+        for r in range(1, C.MINHASH_ROWS):
+            mix = f"(({mix}) * {C.BAND_MIX} + s{lo + r}) % {C.FP_MOD}"
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, {mix} AS bh FROM sig")
+    bands_cte = " UNION ALL ".join(band_selects)
+
+    sum_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(C.SIMHASH_BITS))
+    bit_sum = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(C.SIMHASH_BITS))
+
+    bucket = lambda col: "CAST(" + " + ".join(  # noqa: E731
+        f"(CASE WHEN CAST({col}[{j + 1}] AS DOUBLE) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(C.LSH_SIGN_DIMS)) + " AS BIGINT)"
+
+    cos = (f"({_dot('qemb', 'embedding')}) / "
+           f"(sqrt({_dot('qemb', 'qemb')}) * "
+           f"sqrt({_dot('embedding', 'embedding')}))")
+
+    mk = "(CAST(l_orderkey AS BIGINT) * 8 + CAST(l_linenumber AS BIGINT))"
+
+    return {
+        "token_stats": (
+            "SELECT doc_id, "
+            f"CAST({n_tok} AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_m, "
+            f"CAST(length(replace(text, ' ', '')) AS DOUBLE) / {n_tok} "
+            "AS avg_token_len, "
+            f"CAST({n_stop} AS DOUBLE) / {n_tok} AS stopword_ratio, "
+            f"LEAST(CAST({n_tok} AS DOUBLE) / 100.0, 1.0) * "
+            f"(1.0 - ABS(CAST({n_stop} AS DOUBLE) / {n_tok} - 0.4)) "
+            "AS quality FROM documents"),
+        "lang_id": (
+            f"SELECT doc_id, {lang_case} AS lang_pred FROM documents"),
+        "fingerprint": (
+            f"SELECT doc_id, {_fold('text')} AS fp FROM documents"),
+        "exact_dedup": (
+            f"SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups "
+            f"FROM (SELECT doc_id, {_fold('text')} AS fp FROM documents) "
+            "GROUP BY fp"),
+        "ngram_jaccard": (
+            f"WITH {_shingles_cte()}, "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh "
+            "GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, "
+            "COUNT(*) AS c FROM sh a JOIN sh b ON a.h = b.h "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id1, id2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) "
+            "AS jaccard FROM common "
+            "JOIN sizes n1 ON n1.doc_id = id1 "
+            "JOIN sizes n2 ON n2.doc_id = id2 "
+            "WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.5"),
+        "minhash_lsh": (
+            f"WITH {_shingles_cte()}, "
+            f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+            f"bands AS ({bands_cte}) "
+            "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 "
+            "FROM bands a JOIN bands b "
+            "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"),
+        "simhash": (
+            f"WITH {_shingles_cte()}, "
+            f"sums AS (SELECT doc_id, {sum_cols} FROM sh GROUP BY doc_id) "
+            f"SELECT doc_id, CAST({bit_sum} AS BIGINT) AS sh FROM sums"),
+        "simhash_pairs": (
+            f"WITH {_shingles_cte()}, "
+            f"sums AS (SELECT doc_id, {sum_cols} FROM sh GROUP BY doc_id), "
+            f"s AS (SELECT doc_id, CAST({bit_sum} AS BIGINT) AS sh "
+            "FROM sums) "
+            "SELECT a.doc_id AS id1, b.doc_id AS id2, "
+            "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
+            "FROM s a, s b WHERE a.doc_id < b.doc_id "
+            "AND CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) <= "
+            f"{C.SIMHASH_MAX_HAMMING}"),
+        "cosine_topk": (
+            "WITH probes AS (SELECT vec_id AS qid, embedding AS qemb "
+            f"FROM embeddings WHERE vec_id % {C.ANN_QUERY_MOD} = 0), "
+            f"pairs AS (SELECT qid, vec_id, {cos} AS cosine "
+            "FROM embeddings CROSS JOIN probes WHERE vec_id <> qid), "
+            "ranked AS (SELECT qid, vec_id, cosine, ROW_NUMBER() OVER "
+            "(PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk "
+            "FROM pairs) SELECT qid, vec_id, cosine, rnk FROM ranked "
+            f"WHERE rnk <= {C.ANN_K}"),
+        "lsh_ann": (
+            "WITH data AS (SELECT vec_id, embedding, "
+            f"{bucket('embedding')} AS bucket FROM embeddings), "
+            "probes AS (SELECT vec_id AS qid, embedding AS qemb, "
+            f"{bucket('embedding')} AS bucket FROM embeddings "
+            f"WHERE vec_id % {C.ANN_QUERY_MOD} = 0), "
+            f"pairs AS (SELECT qid, vec_id, {cos} AS cosine "
+            "FROM data JOIN probes USING (bucket) WHERE vec_id <> qid), "
+            "ranked AS (SELECT qid, vec_id, cosine, ROW_NUMBER() OVER "
+            "(PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk "
+            "FROM pairs) SELECT qid, vec_id, cosine, rnk FROM ranked "
+            f"WHERE rnk <= {C.ANN_K}"),
+        "media_decode": (
+            "SELECT k AS doc_key, "
+            "printf('s3://media/%d.bin', k) AS media_ref, "
+            "CAST(16 + k % 16 AS INTEGER) AS width, "
+            "CAST(16 + (k * 7) % 16 AS INTEGER) AS height, "
+            f"CAST((k * {C.PT_A1}) % 256 AS DOUBLE) AS mean_px, "
+            "CAST(1 + k % 4 AS INTEGER) AS n_frames "
+            f"FROM (SELECT DISTINCT {mk} AS k FROM lineitem) b"),
+    }

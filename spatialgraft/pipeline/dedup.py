@@ -1,0 +1,129 @@
+"""Deduplication suite over the `documents` table.
+
+Exact dedup, n-gram Jaccard, MinHash+LSH banding, and SimHash — each as
+DataFrame compositions (explode / groupBy / self-join) with all hashing
+done by shared integer arithmetic (config.FP_MOD polynomial fold), so the
+DuckDB oracles reproduce results exactly.  At 100 TB every op here is
+shuffle-by-key with bounded fan-out: shingles explode ~n_tokens rows per
+doc, signatures are 8 ints per doc, band join keys are (band, hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config as C
+from .textstats import TOKENS
+
+_CHARFOLD = (f"aggregate(split({{s}}, ''), 0L, "
+             f"(acc, c) -> (acc * 31 + ascii(c)) % {C.FP_MOD})")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by full-text hash: (keep_id, n_dups).
+
+    keep_id = min doc_id of the group; n_dups = group size.  At scale the
+    groupBy key is the 64-bit fp, not the text itself."""
+    fp = _CHARFOLD.format(s="text")
+    return (docs.selectExpr("doc_id", f"{fp} AS fp")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dups"))
+            .select("keep_id", "n_dups"))
+
+
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct hashed token 3-grams per document."""
+    sh = (f"transform(sequence(1, size({TOKENS}) - {C.SHINGLE_K - 1}), "
+          f"i -> concat_ws(' ', slice({TOKENS}, i, {C.SHINGLE_K})))")
+    hexpr = _CHARFOLD.format(s="s")
+    return (docs.selectExpr("doc_id", f"{sh} AS shs")
+            .where(f"size({TOKENS}) >= {C.SHINGLE_K}")
+            .select("doc_id", F.explode("shs").alias("s"))
+            .selectExpr("doc_id", f"{hexpr} AS h")
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
+    """(id1, id2, jaccard) for pairs with 3-gram Jaccard >= tau.
+
+    Shingle-inverted-index self-join (shuffle on h) -> common counts ->
+    |A|+|B|-common denominator.  jaccard emitted as an exact ratio of
+    BIGINTs cast to double."""
+    sh = shingle_hashes(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, on="h")
+              .where(F.col("a.doc_id") < F.col("b.doc_id"))
+              .groupBy(F.col("a.doc_id").alias("id1"),
+                       F.col("b.doc_id").alias("id2"))
+              .agg(F.count("*").alias("c")))
+    j = (common
+         .join(sizes.withColumnRenamed("doc_id", "id1")
+               .withColumnRenamed("n", "n1"), on="id1")
+         .join(sizes.withColumnRenamed("doc_id", "id2")
+               .withColumnRenamed("n", "n2"), on="id2")
+         .withColumn("jaccard",
+                     F.col("c").cast("double") /
+                     (F.col("n1") + F.col("n2") - F.col("c"))))
+    return j.where(F.col("jaccard") >= tau).select("id1", "id2", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{H-1}) MinHash signature."""
+    sh = shingle_hashes(docs)
+    aggs = [F.min(F.expr(f"(h * {a} + {b}) % {C.FP_MOD}")).alias(f"s{i}")
+            for i, (a, b) in enumerate(zip(C.MINHASH_A, C.MINHASH_B))]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (id1, id2) sharing any LSH band."""
+    sig = minhash_signatures(docs)
+    bands = None
+    for band in range(C.MINHASH_BANDS):
+        lo = band * C.MINHASH_ROWS
+        mix = f"s{lo}"
+        for r in range(1, C.MINHASH_ROWS):
+            mix = f"(({mix}) * {C.BAND_MIX} + s{lo + r}) % {C.FP_MOD}"
+        piece = sig.selectExpr("doc_id", f"{band} AS band",
+                               f"{mix} AS bh")
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, on=["band", "bh"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"))
+            .distinct())
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): 16-bit SimHash over shingle hashes."""
+    shd = shingle_hashes(docs)
+    sums = shd.groupBy("doc_id").agg(*[
+        F.sum(F.expr(
+            f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"b{j}") for j in range(C.SIMHASH_BITS)])
+    bits = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(C.SIMHASH_BITS))
+    return sums.selectExpr("doc_id", f"CAST({bits} AS BIGINT) AS sh")
+
+
+def simhash_pairs(docs: DataFrame,
+                  max_hamming: int = C.SIMHASH_MAX_HAMMING) -> DataFrame:
+    """(id1, id2, hamming) pairs within the SimHash hamming threshold.
+
+    All-pairs compare on the compact per-doc sketch (one int per doc) —
+    at scale, band the 16 bits into 2x8-bit keys and join instead."""
+    s = simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    return (a.crossJoin(b)
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("hamming",
+                        F.expr("CAST(bit_count(a.sh ^ b.sh) AS BIGINT)"))
+            .where(F.col("hamming") <= max_hamming)
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"), "hamming"))

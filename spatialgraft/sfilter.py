@@ -1,0 +1,43 @@
+"""sFilter: spatial communication pruning before the shuffle join.
+
+The reference embeds a quadtree "spatial bloom filter" per partition to
+answer `queryBox -> Boolean` before shipping queries
+(reference/src/main/scala/cs/purdue/edu/spatialindex/quatree/SBQTree.scala:46-257,
+bit-array form spatialbloomfilter/sbfilter.scala:74-178; never actually
+wired into the shipped join — the call is commented out at
+SMapPartition.scala:117-118).  Our version is exact and cheaper: the
+per-cell presence set (O(#cells) bits, <= 32768 entries) is collected
+once and the *query side's multicast rows* are filtered against it
+before the shuffle — query cells with no data never enter the join.
+
+Two forms:
+  - plan-reuse: if a SpatialPartitioning plan exists, its cell set IS the
+    filter (zero extra jobs);
+  - standalone: one groupBy(cell).count() stats job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cells import with_cell
+from .partitioner import SpatialPartitioning
+
+
+def presence_cells(points: DataFrame) -> set[int]:
+    """Exact cell-presence set (one tiny stats job)."""
+    rows = with_cell(points).select("cell").distinct().collect()
+    return {int(r["cell"]) for r in rows}
+
+
+def prune_cover(cover: DataFrame,
+                cells: set[int] | SpatialPartitioning) -> DataFrame:
+    """Drop multicast (query, cell) rows whose cell holds no data.
+
+    `isin` over a driver-side set compiles to an efficient in-set
+    predicate; for very large cell sets a broadcast semi-join would be
+    the fallback, but the set is bounded by N_CELLS."""
+    if isinstance(cells, SpatialPartitioning):
+        cells = set(cells.assignment)
+    return cover.where(F.col("cell").isin(list(cells)))
