@@ -150,6 +150,35 @@ def _q_media_decode(spark, sf_dir):
     return multimodal.decode_features(multimodal.media_refs(pts))
 
 
+def _q_multiget(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from spatialgraft.ops import misc
+    pts = _points(spark, sf_dir)
+    keys = (pts.where(F.col("doc_key") % 97 == 0)
+            .selectExpr("mx AS kmx", "my AS kmy"))
+    return misc.multiget(pts, keys)
+
+
+def _q_nearest_k(spark, sf_dir):
+    from spatialgraft.ops import misc
+    return misc.nearest_k(_points(spark, sf_dir), 160000, 105000, 25)
+
+
+def _q_count_in_box(spark, sf_dir):
+    from spatialgraft.ops import misc
+    return misc.count_in_box(_points(spark, sf_dir), *HOTSPOT)
+
+
+def _q_cell_histogram(spark, sf_dir):
+    from spatialgraft.ops import misc
+    return misc.cell_histogram(_points(spark, sf_dir))
+
+
+def _q_to_wkt(spark, sf_dir):
+    from spatialgraft.ops import misc
+    return misc.to_wkt(_points(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_join_count": _q_range_join_count,
@@ -171,11 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_ann": _q_lsh_ann,
         "media_decode": _q_media_decode,
+        "multiget": _q_multiget,
+        "nearest_k": _q_nearest_k,
+        "count_in_box": _q_count_in_box,
+        "cell_histogram": _q_cell_histogram,
+        "to_wkt": _q_to_wkt,
     }
 
 
 # ------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    from spatialgraft.oracles import all_oracles, pipeline_oracles
-    return {**all_oracles(k=C.DEFAULT_K), **pipeline_oracles()}
+    from spatialgraft.oracles import (all_oracles, misc_oracles,
+                                      pipeline_oracles)
+    return {**all_oracles(k=C.DEFAULT_K), **pipeline_oracles(),
+            **misc_oracles()}

@@ -133,11 +133,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     Returns (qid, doc_key, dist2, rnk) with rnk 1..k ordered by
     (dist2, doc_key)."""
     spark = points.sparkSession
+    # One extraction pass feeds the histogram, stage 1, and stage 2 —
+    # persist only the slim projection (the spans column is heavy and
+    # irrelevant here).
+    pproj = points.select("doc_key", "x", "y", "mx", "my").persist()
     if plan is None:
-        plan = plan_partitions(points, n_partitions)
+        plan = plan_partitions(pproj, n_partitions)
 
-    pts_p = assign_pid(points, plan).select(
-        "spid", "cell", "doc_key", "x", "y", "mx", "my").persist()
+    pts_p = assign_pid(pproj, plan).select(
+        "spid", "cell", "doc_key", "x", "y", "mx", "my")
     qcell = with_cell(queries, "qmx", "qmy")
     m = F.broadcast(plan.to_df(spark))
     q_p = (qcell.join(m, on="cell", how="left")

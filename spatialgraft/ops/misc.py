@@ -1,0 +1,98 @@
+"""Small operators rounding out the SURVEY §2 inventory.
+
+F4  multiget           — exact point lookups via broadcast key join
+                         (reference SpatialRdd.scala:92-112)
+O1  nearest_k          — single-probe kNN, orderBy+limit
+                         (reference RTree.scala:834-872)
+O2  nearest            — 1-NN specialization (RTree.scala:828-829)
+A2  count_all          — table size (SpatialRdd.scala:49-51)
+A3  count_in_box       — filter+count (RTree.scala:877-878)
+A4  cell_histogram     — per-cell stats feeding the scheduler
+                         (joinScheduler.scala:19-24)
+S4  sample_fraction    — uniform sample prep (SpatialSampleRDD.scala:34-51)
+S5  to_wkt             — WKT text export (ToWKT.scala:27-40)
+put/multiput/delete    — immutable mutation semantics as union /
+                         anti-join (SpatialRdd.scala:64-89, 230-233; a
+                         new DataFrame is returned, matching the
+                         reference's persistent-index model)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cells import cell_expr, with_cell
+
+
+def multiget(points: DataFrame, keys: DataFrame) -> DataFrame:
+    """Exact lookups: keys(kmx, kmy) -> matching point rows.
+
+    Broadcast the key set; equality on exact milli ints.  The cell
+    predicate makes the probe prunable when data is cell-partitioned."""
+    k = F.broadcast(keys.withColumn("cell", cell_expr("kmx", "kmy")))
+    return (with_cell(points).join(
+        k, on="cell", how="inner")
+        .where((F.col("mx") == F.col("kmx")) &
+               (F.col("my") == F.col("kmy")))
+        .select("doc_key", "mx", "my"))
+
+
+def nearest_k(points: DataFrame, qmx: int, qmy: int, k: int) -> DataFrame:
+    """Single-probe kNN: (doc_key, dist2, rnk) by (dist2, doc_key)."""
+    qx = (qmx - 180000) / 1000.0
+    qy = (qmy - 90000) / 1000.0
+    d2 = ((F.col("x") - qx) * (F.col("x") - qx) +
+          (F.col("y") - qy) * (F.col("y") - qy))
+    return (points.select("doc_key", d2.alias("dist2"))
+            .orderBy("dist2", "doc_key").limit(k)
+            .selectExpr("doc_key", "dist2",
+                        "row_number() OVER (ORDER BY dist2, doc_key) "
+                        "AS rnk"))
+
+
+def nearest(points: DataFrame, qmx: int, qmy: int) -> DataFrame:
+    return nearest_k(points, qmx, qmy, 1)
+
+
+def count_all(points: DataFrame) -> int:
+    return points.count()
+
+
+def count_in_box(points: DataFrame, xmin: int, ymin: int,
+                 xmax: int, ymax: int) -> DataFrame:
+    return (points.where(
+        (F.col("mx") >= xmin) & (F.col("mx") <= xmax) &
+        (F.col("my") >= ymin) & (F.col("my") <= ymax))
+        .agg(F.count("*").alias("cnt")))
+
+
+def cell_histogram(points: DataFrame) -> DataFrame:
+    """Per-cell row counts — the stats pass every scheduler decision
+    reads (O(#cells) output, safe to collect at any scale)."""
+    return with_cell(points).groupBy("cell").agg(
+        F.count("*").alias("cnt"))
+
+
+def sample_fraction(points: DataFrame, fraction: float,
+                    seed: int = 42) -> DataFrame:
+    return points.sample(withReplacement=False, fraction=fraction,
+                         seed=seed)
+
+
+def to_wkt(points: DataFrame) -> DataFrame:
+    """(doc_key, wkt): POINT(x y) text export in milli precision."""
+    return points.selectExpr(
+        "doc_key",
+        "printf('POINT(%.3f %.3f)', x, y) AS wkt")
+
+
+def put(points: DataFrame, new_rows: DataFrame) -> DataFrame:
+    """Insert: returns a NEW DataFrame (immutable semantics)."""
+    return points.unionByName(new_rows, allowMissingColumns=True)
+
+
+def delete(points: DataFrame, keys: DataFrame) -> DataFrame:
+    """Delete by doc_key: left anti join, new DataFrame returned."""
+    return points.join(keys.select("doc_key"), on="doc_key",
+                       how="left_anti")

@@ -229,3 +229,37 @@ def pipeline_oracles() -> dict[str, str]:
             "CAST(1 + k % 4 AS INTEGER) AS n_frames "
             f"FROM (SELECT DISTINCT {mk} AS k FROM lineitem) b"),
     }
+
+
+def misc_oracles() -> dict[str, str]:
+    pts = sqlgen.points_cte()
+    x0, y0, x1, y1 = HOTSPOT
+    cell = (f"((mx * {C.CELL_CX}) // {C.WORLD_MX}) * {C.CELL_CY} "
+            f"+ ((my * {C.CELL_CY}) // {C.WORLD_MY})")
+    qmx, qmy = 160000, 105000
+    qx, qy = (qmx - 180000) / 1000.0, (qmy - 90000) / 1000.0
+    d2 = f"(x - ({qx}))*(x - ({qx})) + (y - ({qy}))*(y - ({qy}))"
+    return {
+        "multiget": (
+            f"WITH pts AS ({pts}), "
+            "keys AS (SELECT mx AS kmx, my AS kmy FROM pts "
+            "WHERE doc_key % 97 = 0) "
+            "SELECT p.doc_key AS doc_key, p.mx AS mx, p.my AS my "
+            "FROM pts p JOIN keys k ON p.mx = k.kmx AND p.my = k.kmy"),
+        "nearest_k": (
+            f"WITH pts AS ({pts}), "
+            f"d AS (SELECT doc_key, {d2} AS dist2 FROM pts) "
+            "SELECT doc_key, dist2, ROW_NUMBER() OVER "
+            "(ORDER BY dist2, doc_key) AS rnk FROM d "
+            "ORDER BY dist2, doc_key LIMIT 25"),
+        "count_in_box": (
+            f"WITH pts AS ({pts}) SELECT COUNT(*) AS cnt FROM pts "
+            f"WHERE mx BETWEEN {x0} AND {x1} AND my BETWEEN {y0} AND {y1}"),
+        "cell_histogram": (
+            f"WITH pts AS ({pts}) "
+            f"SELECT {cell} AS cell, COUNT(*) AS cnt FROM pts GROUP BY 1"),
+        "to_wkt": (
+            f"WITH pts AS ({pts}) "
+            "SELECT doc_key, printf('POINT(%.3f %.3f)', x, y) AS wkt "
+            "FROM pts"),
+    }

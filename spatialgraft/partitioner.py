@@ -34,12 +34,18 @@ class SpatialPartitioning:
     assignment: dict[int, tuple[int, int]]
     n_partitions: int
     total_rows: int
+    _df: DataFrame | None = None
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        rows = [(cell, pid, nsplits)
-                for cell, (pid, nsplits) in self.assignment.items()]
-        return spark.createDataFrame(rows, "cell bigint, pid int, "
-                                           "nsplits int")
+        # memoized + persisted: the map participates in several jobs of
+        # one query (stage-1 cogroup, stage-2 join) — rebuilding the
+        # 32k-row local DataFrame per job costs more than the lookup.
+        if self._df is None:
+            rows = [(cell, pid, nsplits)
+                    for cell, (pid, nsplits) in self.assignment.items()]
+            self._df = spark.createDataFrame(
+                rows, "cell bigint, pid int, nsplits int").persist()
+        return self._df
 
     def pid_of(self, cell: int) -> int:
         return self.assignment.get(int(cell), (0, 1))[0]
