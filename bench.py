@@ -62,13 +62,68 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, n: int = 8) -> dict:
+def run_scaling_workload(sf_dir: str, cpus: int, replicate: int) -> dict:
+    """Compute-bound scaling workload: the engine pipeline over the input
+    replicated `replicate`x (spans synthesis -> Arrow extraction -> range
+    join count, kNN join, PIP count; aggregate-only outputs so work, not
+    result materialization, is measured).  Shuffle width is fixed across
+    parallelism levels so only executor-thread count varies — the sandbox
+    stand-in for N vs 4N executors on identical data."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+    from spatialgraft import datagen
+    from spatialgraft.extract import with_geometry
+    from spatialgraft.ops.knn import knn_join
+    from spatialgraft.ops.pip import pip_join_count
+    from spatialgraft.ops.range import range_join_count
+    from spatialgraft.session import get_spark
+
+    spark = get_spark("spatialgraft-scaling", cpus=cpus,
+                      shuffle_partitions=64)
+
+    def points():
+        base = with_geometry(datagen.documents_spans(spark, sf_dir))
+        if replicate <= 1:
+            return base
+        return (base.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+            .withColumn("doc_key",
+                        F.col("doc_key") * replicate + F.col("_r"))
+            .drop("_r"))
+
+    boxes = datagen.query_boxes(spark, sf_dir)
+    polys = datagen.polygons(spark, sf_dir)
+    qs = datagen.knn_queries(spark, sf_dir)
+
+    # Warm codegen/JIT for every operator shape on the un-replicated
+    # input so the measured region contains only real work.
+    base = with_geometry(datagen.documents_spans(spark, sf_dir))
+    range_join_count(base, boxes).count()
+    pip_join_count(base, polys).count()
+    knn_join(base, qs, k=10).count()
+
+    t0 = time.perf_counter()
+    r1 = range_join_count(points(), boxes).count()
+    r2 = pip_join_count(points(), polys).count()
+    r3 = knn_join(points(), qs, k=10).count()
+    wall = time.perf_counter() - t0
+    n_docs = points().count()
+    spark.stop()
+    return {"cpus": cpus, "wall_sec": round(wall, 2),
+            "docs_per_sec": round(3 * n_docs / wall, 1),
+            "n_docs": int(n_docs), "rows": [r1, r2, r3]}
+
+
+def run_scaling(sf_dir: str, n: int = 8, replicate: int = 6) -> dict:
     out = {}
     for cpus in (n, 4 * n):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   SPARK_GRAFT_SF_DIR=sf_dir)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           capture_output=True, text=True, env=env)
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_REPLICATE=str(replicate))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-one"],
+            capture_output=True, text=True, env=env)
         line = r.stdout.strip().splitlines()[-1]
         out[cpus] = json.loads(line)
     thr_n = out[n]["docs_per_sec"]
@@ -79,17 +134,23 @@ def run_scaling(sf_dir: str, n: int = 8) -> dict:
         "value": round(eff, 3),
         "unit": "ratio",
         "N": n,
+        "replicate": replicate,
         "docs_per_sec_N": thr_n,
         "docs_per_sec_4N": thr_4n,
-        "wall_sec_N": out[n]["value"],
-        "wall_sec_4N": out[4 * n]["value"],
-        "sf": out[n]["sf"],
+        "wall_sec_N": out[n]["wall_sec"],
+        "wall_sec_4N": out[4 * n]["wall_sec"],
+        "n_docs": out[n]["n_docs"],
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
     }
 
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling" in sys.argv:
+    if "--scaling-one" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "6"))
+        print(json.dumps(run_scaling_workload(sf_dir, cpus, rep)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -1,194 +1,146 @@
-"""Two-stage exact kNN join (J5/J6/J7 + W1).
+"""Two-stage exact kNN join (J5/J6/J7 + W1) — fully JVM-side.
 
 Re-design of the reference's range-based kNN join
-(reference/src/main/scala/cs/purdue/edu/spatialrdd/impl/knnJoinRDD.scala:45-242):
+(reference/src/main/scala/cs/purdue/edu/spatialrdd/impl/knnJoinRDD.scala:45-242)
+as pure DataFrame operations (whole-stage codegen end to end — an earlier
+applyInPandas cogroup variant was 10-30x slower at scale because the
+grouped-Arrow plumbing dominates):
 
-  stage 1  queries cogrouped with data by spatial partition id (the
-           skew-aware plan from spatialgraft.partitioner); per-group numpy
-           kNN (argpartition) gives each query k valid candidates and the
-           kth-distance upper bound — the reference's local
-           `knnjoin_` (RtreePartition.scala:248-292).
-  split    queries whose kth-radius box stays inside their own unsalted
-           home cell are DONE (their true kNN is already local), mirroring
-           correctKNN/nextRoundKNN (knnJoinRDD.scala:63-98).
+  stage 1  each query is multicast to the 3x3 cell ring around its home
+           cell (bounded fan-out, like the reference's local `knnjoin_`,
+           RtreePartition.scala:248-292); an equi-join on cell + window
+           rank (dist2, doc_key) gives k local candidates and the
+           kth-distance upper bound kth2 (cnt < k in the ring -> +inf).
+  split    DONE queries: ring held >= k candidates and the kth-radius
+           box lies inside the ring's exact milli bounds -> the local
+           top-k is the true kNN (correctKNN/nextRoundKNN split,
+           knnJoinRDD.scala:63-98).
   stage 2  boundary queries re-join points over cover_cells(radius box)
-           with the exact bound dist2 <= kth2 — the reference's `rkjoin`
-           (RtreePartition.scala:294-324) — then a (dist2, doc_key)
-           window rank <= k pins a deterministic total order (the
-           reference's sort+slice at knnJoinRDD.scala:217-231 is
-           tie-unstable; we fix the canon).
+           with the exact bound dist2 <= kth2 (the reference's `rkjoin`,
+           RtreePartition.scala:294-324); +inf bound -> world cover
+           (only happens in near-empty regions where the scan is small
+           by definition).
+  rank     row_number over (dist2, doc_key) pins a deterministic total
+           order (the reference's sort+slice at knnJoinRDD.scala:217-231
+           is tie-unstable; ties are real here, so the canon matters).
 
-Distances are float64 (dx*dx + dy*dy) computed with the same IEEE ops in
-numpy, Spark SQL, and the DuckDB oracle, so values match bit-exactly.
+Skew: the ring join's build side is the multicast query set (broadcast);
+the probe side shuffles on cell, where AQE skew-split applies.  All
+distances are float64 (dx*dx + dy*dy) with the same expression shape as
+the DuckDB oracle -> bit-exact.
 """
 
 from __future__ import annotations
 
-import math
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config as C
 from ..cells import cover_cells, with_cell
-from ..partitioner import SpatialPartitioning, assign_pid, plan_partitions
 
-_STAGE1_SCHEMA = ("qid bigint, qmx bigint, qmy bigint, qx double, "
-                  "qy double, doc_key bigint, dist2 double, kth2 double, "
-                  "done boolean")
+_D2 = ("(qx - x) * (qx - x) + (qy - y) * (qy - y)")
 
 
-def _cell_bounds_mx(qmx: np.ndarray, qmy: np.ndarray):
-    """Exact milli bounds of the cell owning each query point."""
-    cx = qmx * C.CELL_CX // C.WORLD_MX
-    cy = qmy * C.CELL_CY // C.WORLD_MY
-    # cell x-extent is [ceil(cx*W/CX), ceil((cx+1)*W/CX)-1] in milli ints
-    x0 = -(-cx * C.WORLD_MX // C.CELL_CX)
-    x1 = -(-(cx + 1) * C.WORLD_MX // C.CELL_CX) - 1
-    y0 = -(-cy * C.WORLD_MY // C.CELL_CY)
-    y1 = -(-(cy + 1) * C.WORLD_MY // C.CELL_CY) - 1
-    return x0, x1, y0, y1
+def _with_ring_bounds(queries: DataFrame) -> DataFrame:
+    """Attach the exact milli bounds of each query's 3x3 cell ring
+    (cell cx covers mx in [ceil(cx*W/CX), ceil((cx+1)*W/CX) - 1])."""
+    q = (queries
+         .withColumn("_cx", F.expr(f"(qmx * {C.CELL_CX}) div {C.WORLD_MX}"))
+         .withColumn("_cy", F.expr(f"(qmy * {C.CELL_CY}) div {C.WORLD_MY}"))
+         .withColumn("_cxa", F.expr("greatest(_cx - 1, 0)"))
+         .withColumn("_cxb", F.expr(f"least(_cx + 1, {C.CELL_CX - 1})"))
+         .withColumn("_cya", F.expr("greatest(_cy - 1, 0)"))
+         .withColumn("_cyb", F.expr(f"least(_cy + 1, {C.CELL_CY - 1})"))
+         .withColumn("ring_x0", F.expr(
+             f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) div {C.CELL_CX}"))
+         .withColumn("ring_x1", F.expr(
+             f"((_cxb + 1) * {C.WORLD_MX} + {C.CELL_CX - 1}) "
+             f"div {C.CELL_CX} - 1"))
+         .withColumn("ring_y0", F.expr(
+             f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) div {C.CELL_CY}"))
+         .withColumn("ring_y1", F.expr(
+             f"((_cyb + 1) * {C.WORLD_MY} + {C.CELL_CY - 1}) "
+             f"div {C.CELL_CY} - 1")))
+    return q
 
 
-def _stage1_factory(k: int):
-    def fn(queries: pd.DataFrame, points: pd.DataFrame) -> pd.DataFrame:
-        if queries.empty:
-            return pd.DataFrame(
-                columns=["qid", "qmx", "qmy", "qx", "qy", "doc_key",
-                         "dist2", "kth2", "done"])
-        qx = queries["qx"].to_numpy(np.float64)
-        qy = queries["qy"].to_numpy(np.float64)
-        qmx = queries["qmx"].to_numpy(np.int64)
-        qmy = queries["qmy"].to_numpy(np.int64)
-        nsplits = queries["nsplits"].to_numpy(np.int64)
-        nq = len(queries)
-        px = points["x"].to_numpy(np.float64)
-        py = points["y"].to_numpy(np.float64)
-        pk = points["doc_key"].to_numpy(np.int64)
-        npts = len(points)
-        kk = min(k, npts)
-
-        if kk > 0:
-            dx = qx[:, None] - px[None, :]
-            dy = qy[:, None] - py[None, :]
-            d2 = dx * dx + dy * dy
-            # k-smallest per row with the canonical (dist2, doc_key)
-            # tie-break: argpartition gives the kth distance value, then
-            # everything <= it is re-ordered lexicographically.  Ties are
-            # real (hash-derived coordinates collide), and an arbitrary
-            # tie pick here would become the final answer for DONE
-            # queries.
-            idx = np.empty((nq, kk), np.int64)
-            dsel = np.empty((nq, kk), np.float64)
-            for i in range(nq):
-                row = d2[i]
-                if kk < npts:
-                    thresh = np.partition(row, kk - 1)[kk - 1]
-                    cand = np.flatnonzero(row <= thresh)
-                else:
-                    cand = np.arange(npts)
-                order = np.lexsort((pk[cand], row[cand]))[:kk]
-                sel = cand[order]
-                idx[i] = sel
-                dsel[i] = row[sel]
-            kth2 = dsel.max(axis=1) if npts >= k else np.full(nq, np.inf)
-        else:
-            idx = np.zeros((nq, 0), np.int64)
-            dsel = np.zeros((nq, 0), np.float64)
-            kth2 = np.full(nq, np.inf)
-
-        # done iff unsalted cell and kth-radius box inside the home cell
-        x0, x1, y0, y1 = _cell_bounds_mx(qmx, qmy)
-        with np.errstate(over="ignore"):
-            rm = np.where(np.isfinite(kth2),
-                          np.ceil(np.sqrt(kth2) * 1000.0) + 1,
-                          np.float64(C.WORLD_MX))
-        rm = rm.astype(np.int64)
-        done = ((nsplits == 1) & (npts >= k) &
-                (qmx - rm >= x0) & (qmx + rm <= x1) &
-                (qmy - rm >= y0) & (qmy + rm <= y1))
-
-        rep = idx.shape[1]
-        qids = queries["qid"].to_numpy(np.int64)
-        return pd.DataFrame({
-            "qid": np.repeat(qids, rep),
-            "qmx": np.repeat(qmx, rep), "qmy": np.repeat(qmy, rep),
-            "qx": np.repeat(qx, rep), "qy": np.repeat(qy, rep),
-            "doc_key": pk[idx.ravel()] if rep else
-                       np.empty(0, np.int64),
-            "dist2": dsel.ravel(),
-            "kth2": np.repeat(kth2, rep),
-            "done": np.repeat(done, rep)})
-
-    return fn
+def _ring(qmeta: DataFrame) -> DataFrame:
+    """Multicast each query row to its ring cells."""
+    return (qmeta
+            .withColumn("_gx", F.explode(F.sequence("_cxa", "_cxb")))
+            .withColumn("_gy", F.explode(F.sequence("_cya", "_cyb")))
+            .withColumn("cell", F.col("_gx") * C.CELL_CY + F.col("_gy"))
+            .drop("_cx", "_cy", "_cxa", "_cxb", "_cya", "_cyb",
+                  "_gx", "_gy"))
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
-             plan: SpatialPartitioning | None = None,
-             n_partitions: int = C.DEFAULT_PARTITIONS) -> DataFrame:
-    """For every query point: its k nearest data points.
-
-    Returns (qid, doc_key, dist2, rnk) with rnk 1..k ordered by
+             broadcast_queries: bool = True) -> DataFrame:
+    """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
+    points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
     (dist2, doc_key)."""
-    spark = points.sparkSession
-    # One extraction pass feeds the histogram, stage 1, and stage 2 —
-    # persist only the slim projection (the spans column is heavy and
-    # irrelevant here).
-    pproj = points.select("doc_key", "x", "y", "mx", "my").persist()
-    if plan is None:
-        plan = plan_partitions(pproj, n_partitions)
-
-    pts_p = assign_pid(pproj, plan).select(
-        "spid", "cell", "doc_key", "x", "y", "mx", "my")
-    qcell = with_cell(queries, "qmx", "qmy")
-    m = F.broadcast(plan.to_df(spark))
-    q_p = (qcell.join(m, on="cell", how="left")
-           .fillna({"pid": 0, "nsplits": 1})
-           .withColumn("spid",
-                       (F.col("pid").cast("long") * 4096 +
-                        F.pmod(F.xxhash64("qid"), F.col("nsplits")))
-                       .cast("long")))
-
-    stage1 = (q_p.groupBy("spid")
-              .cogroup(pts_p.groupBy("spid"))
-              .applyInPandas(_stage1_factory(k), _STAGE1_SCHEMA)
-              .persist())
+    pts = with_cell(points).select("cell", "doc_key", "x", "y")
+    qmeta = _with_ring_bounds(queries)
+    ring = _ring(qmeta)
+    if broadcast_queries:
+        ring = F.broadcast(ring)
 
     w = Window.partitionBy("qid").orderBy("dist2", "doc_key")
 
-    done = (stage1.where("done")
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= k)
+    # stage 1: ring candidates, local top-k, kth bound
+    cand1 = (pts.join(ring.select("cell", "qid", "qx", "qy"),
+                      on="cell", how="inner")
+             .withColumn("dist2", F.expr(_D2))
+             .withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= k)
+             .persist())
+
+    # left join keeps queries whose whole ring is empty (cnt=0 -> world)
+    agg = cand1.groupBy("qid").agg(F.count("*").alias("cnt"),
+                                   F.max("dist2").alias("kth2"))
+    stats = (qmeta.select("qid", "qmx", "qmy", "qx", "qy",
+                          "ring_x0", "ring_x1", "ring_y0", "ring_y1")
+             .join(agg, on="qid", how="left")
+             .fillna({"cnt": 0}))
+    stats = (stats
+             .withColumn("rm", F.when(
+                 F.col("cnt") < k,
+                 F.lit(C.WORLD_MX).cast("bigint"))
+                 .otherwise((F.ceil(F.sqrt("kth2") * 1000.0) + 1)
+                            .cast("bigint")))
+             .withColumn("done",
+                         (F.col("cnt") >= k) &
+                         (F.col("qmx") - F.col("rm") >= F.col("ring_x0")) &
+                         (F.col("qmx") + F.col("rm") <= F.col("ring_x1")) &
+                         (F.col("qmy") - F.col("rm") >= F.col("ring_y0")) &
+                         (F.col("qmy") + F.col("rm") <= F.col("ring_y1")))
+             .persist())
+
+    done = (cand1.join(stats.where("done").select("qid"), on="qid")
             .select("qid", "doc_key", "dist2", "rnk"))
 
-    # Boundary queries: rebuild the candidate set exactly from the
-    # kth-radius box (superset of the true kNN by the stage-1 bound).
-    bq = (stage1.where("NOT done")
-          .groupBy("qid", "qmx", "qmy", "qx", "qy")
-          .agg(F.min("kth2").alias("kth2")))
-    bq = (bq.withColumn(
-            "rm",
-            F.when(F.col("kth2") == float("inf"),
-                   F.lit(C.WORLD_MX).cast("bigint"))
-            .otherwise((F.ceil(F.sqrt("kth2") * 1000.0) + 1)
-                       .cast("bigint")))
-          .withColumn("xmin", F.greatest(F.lit(0), F.col("qmx") - F.col("rm")))
+    # stage 2: exact radius re-join for boundary queries
+    bq = (stats.where("NOT done")
+          .withColumn("kth2", F.when(F.col("cnt") < k,
+                                     F.lit(float("inf")))
+                      .otherwise(F.col("kth2")))
+          .withColumn("xmin", F.greatest(F.lit(0),
+                                         F.col("qmx") - F.col("rm")))
           .withColumn("xmax", F.least(F.lit(C.WORLD_MX - 1),
                                       F.col("qmx") + F.col("rm")))
-          .withColumn("ymin", F.greatest(F.lit(0), F.col("qmy") - F.col("rm")))
+          .withColumn("ymin", F.greatest(F.lit(0),
+                                         F.col("qmy") - F.col("rm")))
           .withColumn("ymax", F.least(F.lit(C.WORLD_MY - 1),
-                                      F.col("qmy") + F.col("rm"))))
-    cover = F.broadcast(cover_cells(bq))
-    cand = (pts_p.join(cover, on="cell", how="inner")
-            .withColumn("dist2",
-                        (F.col("qx") - F.col("x")) *
-                        (F.col("qx") - F.col("x")) +
-                        (F.col("qy") - F.col("y")) *
-                        (F.col("qy") - F.col("y")))
-            .where(F.col("dist2") <= F.col("kth2")))
-    boundary = (cand.withColumn("rnk", F.row_number().over(w))
+                                      F.col("qmy") + F.col("rm")))
+          .select("qid", "qx", "qy", "kth2",
+                  "xmin", "xmax", "ymin", "ymax"))
+    cover = cover_cells(bq)
+    if broadcast_queries:
+        cover = F.broadcast(cover)
+    boundary = (pts.join(cover, on="cell", how="inner")
+                .withColumn("dist2", F.expr(_D2))
+                .where(F.col("dist2") <= F.col("kth2"))
+                .withColumn("rnk", F.row_number().over(w))
                 .where(F.col("rnk") <= k)
                 .select("qid", "doc_key", "dist2", "rnk"))
 
