@@ -144,6 +144,11 @@ def _q_lsh_ann(spark, sf_dir):
     return similarity.lsh_ann(_emb(spark, sf_dir))
 
 
+def _q_cosine_dedup(spark, sf_dir):
+    from spatialgraft.pipeline import similarity
+    return similarity.cosine_dedup_pairs(_emb(spark, sf_dir), tau=0.35)
+
+
 def _q_media_decode(spark, sf_dir):
     from spatialgraft.pipeline import multimodal
     pts = _points(spark, sf_dir)
@@ -199,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "lsh_ann": _q_lsh_ann,
+        "cosine_dedup": _q_cosine_dedup,
         "media_decode": _q_media_decode,
         "multiget": _q_multiget,
         "nearest_k": _q_nearest_k,
@@ -211,7 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    from spatialgraft.oracles import (all_oracles, misc_oracles,
-                                      pipeline_oracles)
+    from spatialgraft.oracles import (all_oracles, cosine_dedup_oracle,
+                                      misc_oracles, pipeline_oracles)
     return {**all_oracles(k=C.DEFAULT_K), **pipeline_oracles(),
-            **misc_oracles()}
+            **misc_oracles(), "cosine_dedup": cosine_dedup_oracle(0.35)}

@@ -263,3 +263,21 @@ def misc_oracles() -> dict[str, str]:
             "SELECT doc_key, printf('POINT(%.3f %.3f)', x, y) AS wkt "
             "FROM pts"),
     }
+
+
+def cosine_dedup_oracle(tau: float = 0.99) -> str:
+    bucket = "CAST(" + " + ".join(
+        f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(C.LSH_SIGN_DIMS)) + " AS BIGINT)"
+    cos = (f"({_dot('qemb', 'embedding')}) / "
+           f"(sqrt({_dot('qemb', 'qemb')}) * "
+           f"sqrt({_dot('embedding', 'embedding')}))")
+    return (
+        f"WITH data AS (SELECT vec_id, embedding, {bucket} AS bucket "
+        "FROM embeddings), "
+        "a AS (SELECT vec_id AS id1, embedding AS qemb, bucket FROM data), "
+        "b AS (SELECT vec_id AS id2, embedding, bucket FROM data) "
+        f"SELECT id1, id2, {cos} AS cosine "
+        "FROM a JOIN b USING (bucket) WHERE id1 < id2 "
+        f"AND {cos} >= {tau}")

@@ -78,3 +78,22 @@ def lsh_ann(emb: DataFrame, k: int = C.ANN_K) -> DataFrame:
     return (pairs.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", "cosine", "rnk"))
+
+
+def cosine_dedup_pairs(emb: DataFrame, tau: float = 0.99) -> DataFrame:
+    """Embedding near-duplicate pairs: (id1, id2, cosine) with
+    cosine >= tau among same-LSH-bucket pairs — the scale shape for
+    embedding dedup (bucket join bounds the candidate set; a full
+    exact pass would be the cross join)."""
+    data = emb.selectExpr("vec_id", "embedding",
+                          _bucket_expr("embedding") + " AS bucket")
+    a = data.selectExpr("vec_id AS id1", "embedding AS qemb", "bucket")
+    b = data.selectExpr("vec_id AS id2", "embedding", "bucket")
+    dot = DOT.format(a="qemb", b="embedding")
+    qn = NORM2.format(a="qemb")
+    dn = NORM2.format(a="embedding")
+    return (a.join(b, on="bucket")
+            .where(F.col("id1") < F.col("id2"))
+            .selectExpr("id1", "id2",
+                        f"({dot}) / (sqrt({qn}) * sqrt({dn})) AS cosine")
+            .where(F.col("cosine") >= tau))
