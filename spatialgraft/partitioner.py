@@ -74,7 +74,10 @@ def plan_partitions(points: DataFrame,
             pid, acc = pid + 1, 0
         nsplits = 1
         if cnt > mean_cell * skew_ratio:
-            nsplits = min(n_partitions, max(1, round(cnt / target)) or 1)
+            # split hot cells into ~(skew_ratio * mean)-sized slices so
+            # one reducer never owns a whole hot cell
+            nsplits = min(n_partitions,
+                          -(-cnt // max(1, int(mean_cell * skew_ratio))))
         assignment[cell] = (pid, nsplits)
         acc += cnt
     return SpatialPartitioning(assignment, n_partitions, total)
