@@ -31,8 +31,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
                 "pip_join_count", "tiles_points", "tiles_boxes"]
     headline = [h for h in headline if h in qs]
 
-    # warm the JVM + parquet footers once, outside the measured region
-    qs[headline[0]](spark, sf_dir).count()
+    # warm codegen/JIT for every operator shape (tiny sf) + python
+    # workers + parquet footers, outside the measured region — at target
+    # scale per-query JIT is noise, so steady-state is the honest number
+    warm_sf = "/root/testdata/sf0.001"
+    for name in headline:
+        qs[name](spark, warm_sf).count()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

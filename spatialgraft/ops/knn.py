@@ -41,16 +41,35 @@ from ..cells import cover_cells, with_cell
 _D2 = ("(qx - x) * (qx - x) + (qy - y) * (qy - y)")
 
 
-def _with_ring_bounds(queries: DataFrame) -> DataFrame:
-    """Attach the exact milli bounds of each query's 3x3 cell ring
-    (cell cx covers mx in [ceil(cx*W/CX), ceil((cx+1)*W/CX) - 1])."""
+def _with_ring_bounds(queries: DataFrame,
+                      cell_counts: DataFrame | None = None,
+                      k: int = C.DEFAULT_K) -> DataFrame:
+    """Attach the exact milli bounds of each query's candidate cell ring
+    (cell cx covers mx in [ceil(cx*W/CX), ceil((cx+1)*W/CX) - 1]).
+
+    Adaptive fan-out: when the query's own cell already holds plenty of
+    points (>= 3k, from the broadcast cell histogram) the ring is just
+    that cell — in dense regions (the skew hotspot) a 3x3 ring would
+    over-fetch ~100x for the bound it buys.  Sparse cells use the 3x3
+    ring.  Correctness is unaffected: the ring only produces the kth
+    bound; too few candidates -> +inf -> exact stage-2 fallback."""
     q = (queries
          .withColumn("_cx", F.expr(f"(qmx * {C.CELL_CX}) div {C.WORLD_MX}"))
          .withColumn("_cy", F.expr(f"(qmy * {C.CELL_CY}) div {C.WORLD_MY}"))
-         .withColumn("_cxa", F.expr("greatest(_cx - 1, 0)"))
-         .withColumn("_cxb", F.expr(f"least(_cx + 1, {C.CELL_CX - 1})"))
-         .withColumn("_cya", F.expr("greatest(_cy - 1, 0)"))
-         .withColumn("_cyb", F.expr(f"least(_cy + 1, {C.CELL_CY - 1})"))
+         .withColumn("cell", F.col("_cx") * C.CELL_CY + F.col("_cy")))
+    if cell_counts is not None:
+        q = (q.join(F.broadcast(cell_counts), on="cell", how="left")
+             .fillna({"cellcnt": 0})
+             .withColumn("_r", F.when(F.col("cellcnt") >= 3 * k, 0)
+                         .otherwise(1))
+             .drop("cellcnt"))
+    else:
+        q = q.withColumn("_r", F.lit(1))
+    q = (q.drop("cell")
+         .withColumn("_cxa", F.expr("greatest(_cx - _r, 0)"))
+         .withColumn("_cxb", F.expr(f"least(_cx + _r, {C.CELL_CX - 1})"))
+         .withColumn("_cya", F.expr("greatest(_cy - _r, 0)"))
+         .withColumn("_cyb", F.expr(f"least(_cy + _r, {C.CELL_CY - 1})"))
          .withColumn("ring_x0", F.expr(
              f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) div {C.CELL_CX}"))
          .withColumn("ring_x1", F.expr(
@@ -70,8 +89,8 @@ def _ring(qmeta: DataFrame) -> DataFrame:
             .withColumn("_gx", F.explode(F.sequence("_cxa", "_cxb")))
             .withColumn("_gy", F.explode(F.sequence("_cya", "_cyb")))
             .withColumn("cell", F.col("_gx") * C.CELL_CY + F.col("_gy"))
-            .drop("_cx", "_cy", "_cxa", "_cxb", "_cya", "_cyb",
-                  "_gx", "_gy"))
+               .drop("_cx", "_cy", "_cxa", "_cxb", "_cya", "_cyb",
+                  "_gx", "_gy", "_r"))
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
@@ -79,8 +98,12 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
     points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
     (dist2, doc_key)."""
-    pts = with_cell(points).select("cell", "doc_key", "x", "y")
-    qmeta = _with_ring_bounds(queries)
+    # slim projection cached: feeds the cell histogram, stage 1 and
+    # stage 2 (the spans column must not ride into the cache)
+    pts = with_cell(points).select("cell", "doc_key", "x", "y").persist()
+    cell_counts = pts.groupBy("cell").agg(
+        F.count("*").alias("cellcnt"))  # O(#cells), broadcast below
+    qmeta = _with_ring_bounds(queries, cell_counts, k)
     ring = _ring(qmeta)
     if broadcast_queries:
         ring = F.broadcast(ring)
