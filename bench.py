@@ -66,15 +66,21 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling_workload(sf_dir: str, cpus: int, replicate: int) -> dict:
+def run_scaling_workload(sf_dir: str, n_executors: int,
+                         replicate: int) -> dict:
     """Compute-bound scaling workload: the engine pipeline over the input
     replicated `replicate`x (spans synthesis -> Arrow extraction -> range
     join count, kNN join, PIP count; aggregate-only outputs so work, not
-    result materialization, is measured).  Shuffle width is fixed across
-    parallelism levels so only executor-thread count varies — the sandbox
-    stand-in for N vs 4N executors on identical data."""
-    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    result materialization, is measured).
+
+    Runs on `local-cluster[n_executors, 8, 16384]` — real separate
+    executor JVMs (own GC, own python workers), the honest sandbox
+    stand-in for an N- vs 4N-executor cluster (thread-mode local[n]
+    shares one heap and measures GC contention, not scaling).  Shuffle
+    width is fixed across levels so only executor count varies."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import time as _t
+
     from pyspark.sql import functions as F
     from spatialgraft import datagen
     from spatialgraft.extract import with_geometry
@@ -83,8 +89,16 @@ def run_scaling_workload(sf_dir: str, cpus: int, replicate: int) -> dict:
     from spatialgraft.ops.range import range_join_count
     from spatialgraft.session import get_spark
 
-    spark = get_spark("spatialgraft-scaling", cpus=cpus,
-                      shuffle_partitions=64)
+    spark = get_spark("spatialgraft-scaling",
+                      cpus=8 * n_executors,
+                      shuffle_partitions=64,
+                      master=f"local-cluster[{n_executors},8,16384]")
+    # wait for all executors to register before doing anything
+    want = 8 * n_executors
+    for _ in range(60):
+        if spark.sparkContext.defaultParallelism >= want:
+            break
+        _t.sleep(1)
 
     def points():
         base = with_geometry(datagen.documents_spans(spark, sf_dir))
@@ -114,36 +128,38 @@ def run_scaling_workload(sf_dir: str, cpus: int, replicate: int) -> dict:
     wall = time.perf_counter() - t0
     n_docs = points().count()
     spark.stop()
-    return {"cpus": cpus, "wall_sec": round(wall, 2),
+    return {"executors": n_executors, "cores": 8 * n_executors,
+            "wall_sec": round(wall, 2),
             "docs_per_sec": round(3 * n_docs / wall, 1),
             "n_docs": int(n_docs), "rows": [r1, r2, r3]}
 
 
-def run_scaling(sf_dir: str, n: int = 8, replicate: int = 6) -> dict:
+def run_scaling(sf_dir: str, n_exec: int = 1, replicate: int = 12) -> dict:
     out = {}
-    for cpus in (n, 4 * n):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+    for ne in (n_exec, 4 * n_exec):
+        env = dict(os.environ, SPARK_GRAFT_EXECUTORS=str(ne),
                    SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_REPLICATE=str(replicate))
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-one"],
             capture_output=True, text=True, env=env)
         line = r.stdout.strip().splitlines()[-1]
-        out[cpus] = json.loads(line)
-    thr_n = out[n]["docs_per_sec"]
-    thr_4n = out[4 * n]["docs_per_sec"]
+        out[ne] = json.loads(line)
+    thr_n = out[n_exec]["docs_per_sec"]
+    thr_4n = out[4 * n_exec]["docs_per_sec"]
     eff = (thr_4n / thr_n) / 4 if thr_n else 0.0
     return {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "unit": "ratio",
-        "N": n,
+        "N_executors": n_exec,
+        "executor_cores": 8,
         "replicate": replicate,
         "docs_per_sec_N": thr_n,
         "docs_per_sec_4N": thr_4n,
-        "wall_sec_N": out[n]["wall_sec"],
-        "wall_sec_4N": out[4 * n]["wall_sec"],
-        "n_docs": out[n]["n_docs"],
+        "wall_sec_N": out[n_exec]["wall_sec"],
+        "wall_sec_4N": out[4 * n_exec]["wall_sec"],
+        "n_docs": out[n_exec]["n_docs"],
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
     }
 
@@ -151,9 +167,9 @@ def run_scaling(sf_dir: str, n: int = 8, replicate: int = 6) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling-one" in sys.argv:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "6"))
-        print(json.dumps(run_scaling_workload(sf_dir, cpus, rep)))
+        ne = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "4"))
+        rep = int(os.environ.get("SPARK_GRAFT_REPLICATE", "12"))
+        print(json.dumps(run_scaling_workload(sf_dir, ne, rep)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:

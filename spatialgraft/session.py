@@ -16,14 +16,21 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "spatialgraft",
               cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
+    """master=None -> local[cpus]; pass e.g. 'local-cluster[4,8,8192]'
+    for true multi-executor-JVM runs (the N vs 4N scaling gate)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
+    if master is None:
+        master = f"local[{cpus}]"
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -33,7 +40,7 @@ def get_spark(app: str = "spatialgraft",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
