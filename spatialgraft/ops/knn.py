@@ -1,4 +1,4 @@
-"""Two-stage exact kNN join (J5/J6/J7 + W1) — fully JVM-side.
+"""Two-stage exact kNN join (J5/J6/J7 + W1/J9/F6) — fully JVM-side.
 
 Re-design of the reference's range-based kNN join
 (reference/src/main/scala/cs/purdue/edu/spatialrdd/impl/knnJoinRDD.scala:45-242)
@@ -6,39 +6,60 @@ as pure DataFrame operations (whole-stage codegen end to end — an earlier
 applyInPandas cogroup variant was 10-30x slower at scale because the
 grouped-Arrow plumbing dominates):
 
-  stage 1  each query is multicast to the 3x3 cell ring around its home
-           cell (bounded fan-out, like the reference's local `knnjoin_`,
-           RtreePartition.scala:248-292); an equi-join on cell + window
-           rank (dist2, doc_key) gives k local candidates and the
-           kth-distance upper bound kth2 (cnt < k in the ring -> +inf).
+  stage 1  each query is multicast to the cell ring around its home cell
+           (bounded fan-out, like the reference's local `knnjoin_`,
+           RtreePartition.scala:248-292); an equi-join on cell + a
+           per-(cell, qid) pre-rank (row_number <= k) bounds the rows
+           entering the global qid window to <= 9k per query no matter
+           how dense the cell is, then the global window rank
+           (dist2, doc_key) gives k local candidates and the
+           kth-distance upper bound kth2.
   split    DONE queries: ring held >= k candidates and the kth-radius
            box lies inside the ring's exact milli bounds -> the local
            top-k is the true kNN (correctKNN/nextRoundKNN split,
            knnJoinRDD.scala:63-98).
-  stage 2  boundary queries re-join points over cover_cells(radius box)
-           with the exact bound dist2 <= kth2 (the reference's `rkjoin`,
-           RtreePartition.scala:294-324); +inf bound -> world cover
-           (only happens in near-empty regions where the scan is small
-           by definition).
+  expand   UNDERFILLED queries (< k ring candidates): the exact cell
+           histogram's 2-D summed-area table (O(#cells), driver-side)
+           gives the smallest ring radius whose box holds >= k points;
+           the distance to that box's far corner is an exact kth upper
+           bound.  This replaces the old world-cover fallback — no
+           full-table scan ever, the re-join box is as small as the
+           data allows (role of the reference's iterative nextRound
+           loop, knnJoinRDD.scala:100-140).
+  stage 2  boundary + underfilled queries re-join points over
+           cover_cells(radius box) with the exact bound dist2 <= kth2
+           (the reference's `rkjoin`, RtreePartition.scala:294-324).
   rank     row_number over (dist2, doc_key) pins a deterministic total
            order (the reference's sort+slice at knnJoinRDD.scala:217-231
            is tie-unstable; ties are real here, so the canon matters).
 
-Skew: the ring join's build side is the multicast query set (broadcast);
-the probe side shuffles on cell, where AQE skew-split applies.  All
-distances are float64 (dx*dx + dy*dy) with the same expression shape as
-the DuckDB oracle -> bit-exact.
+Skew (J9): pass a SpatialPartitioning `plan` and stage 1 joins on
+(cell, salt) — the data side hashes hot cells into `nsplits` salt
+slices, the multicast ring replicates across them (the reference salts
+skewed partitions inside kNN round 2, knnJoinRDD.scala:120-215).
+Without a plan the ring join's probe side still gets AQE skew-split.
+
+Predicates (F6): `pred` restricts the data side before any join — the
+reference's `knnFilter(entry, k, z)` z-predicate
+(SpatialRdd.scala:150); kNN is then exact among qualifying points.
+
+All distances are float64 (dx*dx + dy*dy) with the same expression
+shape as the DuckDB oracle -> bit-exact.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config as C
 from ..cells import cover_cells, with_cell
 
 _D2 = ("(qx - x) * (qx - x) + (qy - y) * (qy - y)")
+
+# ring-expansion candidate radii (cells): powers of two up to the full
+# grid — 9 rows per underfilled query, driver-independent
+_EXPAND_RADII = [1, 2, 4, 8, 16, 32, 64, 128, 256]
 
 
 def _with_ring_bounds(queries: DataFrame,
@@ -52,7 +73,7 @@ def _with_ring_bounds(queries: DataFrame,
     that cell — in dense regions (the skew hotspot) a 3x3 ring would
     over-fetch ~100x for the bound it buys.  Sparse cells use the 3x3
     ring.  Correctness is unaffected: the ring only produces the kth
-    bound; too few candidates -> +inf -> exact stage-2 fallback."""
+    bound; too few candidates -> exact SAT-driven stage-2 fallback."""
     q = (queries
          .withColumn("_cx", F.expr(f"(qmx * {C.CELL_CX}) div {C.WORLD_MX}"))
          .withColumn("_cy", F.expr(f"(qmy * {C.CELL_CY}) div {C.WORLD_MY}"))
@@ -89,66 +110,191 @@ def _ring(qmeta: DataFrame) -> DataFrame:
             .withColumn("_gx", F.explode(F.sequence("_cxa", "_cxb")))
             .withColumn("_gy", F.explode(F.sequence("_cya", "_cyb")))
             .withColumn("cell", F.col("_gx") * C.CELL_CY + F.col("_gy"))
-               .drop("_cx", "_cy", "_cxa", "_cxb", "_cya", "_cyb",
+            .drop("_cx", "_cy", "_cxa", "_cxb", "_cya", "_cyb",
                   "_gx", "_gy", "_r"))
 
 
+def _sat_rows(counts: dict[int, int]) -> list[int]:
+    """Flattened inclusive 2-D prefix sums over the cell grid, with a
+    zero row/column of padding: entry (i, j), i in [0,CX], j in [0,CY],
+    at 1-based index i*(CY+1)+j+1, holds sum of counts over cells with
+    cell_x < i and cell_y < j.  O(#cells) memory — scale-independent."""
+    cx1, cy1 = C.CELL_CX + 1, C.CELL_CY + 1
+    sat = [0] * (cx1 * cy1)
+    for i in range(1, cx1):
+        row_acc = 0
+        base, prev = i * cy1, (i - 1) * cy1
+        for j in range(1, cy1):
+            row_acc += counts.get((i - 1) * C.CELL_CY + (j - 1), 0)
+            sat[base + j] = sat[prev + j] + row_acc
+    return sat
+
+
+def _ring_count_expr(sat: str, cxa: str, cxb: str, cya: str, cyb: str
+                     ) -> Column:
+    """Sum of cell counts over the inclusive cell-rectangle via 4 SAT
+    lookups (element_at is 1-based; the padding makes -1 edges safe)."""
+    cy1 = C.CELL_CY + 1
+
+    def at(i: str, j: str) -> str:
+        return (f"element_at({sat}, "
+                f"CAST(({i}) * {cy1} + ({j}) + 1 AS INT))")
+
+    return F.expr(
+        f"{at(f'{cxb} + 1', f'{cyb} + 1')} - {at(cxa, f'{cyb} + 1')} "
+        f"- {at(f'{cxb} + 1', cya)} + {at(cxa, cya)}")
+
+
 def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
-             broadcast_queries: bool = True) -> DataFrame:
+             broadcast_queries: bool = True,
+             pred: Column | str | None = None,
+             plan=None,
+             materialize: bool = True) -> DataFrame:
     """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
     points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
-    (dist2, doc_key)."""
+    (dist2, doc_key).
+
+    pred: optional extra data-side predicate (knnFilter semantics, F6).
+    plan: optional SpatialPartitioning -> salt hot cells in stage 1 (J9).
+    materialize: persist the (query-set-sized) result eagerly and
+    unpersist all intermediates before returning — repeated invocations
+    in one session then never accumulate cached blocks."""
+    spark = points.sparkSession
+    if pred is not None:
+        points = points.where(pred if isinstance(pred, Column)
+                              else F.expr(pred))
+
     # slim projection cached: feeds the cell histogram, stage 1 and
     # stage 2 (the spans column must not ride into the cache)
-    pts = with_cell(points).select("cell", "doc_key", "x", "y").persist()
-    cell_counts = pts.groupBy("cell").agg(
-        F.count("*").alias("cellcnt"))  # O(#cells), broadcast below
+    pts = with_cell(points).select("cell", "doc_key", "x", "y")
+    if plan is not None:
+        m = F.broadcast(plan.to_df(spark))
+        pts = (pts.join(m.select("cell", "nsplits"), on="cell", how="left")
+               .fillna({"nsplits": 1})
+               .withColumn("salt", F.pmod(F.xxhash64("doc_key"),
+                                          F.col("nsplits").cast("long")))
+               .drop("nsplits"))
+    else:
+        pts = pts.withColumn("salt", F.lit(0).cast("long"))
+    pts = pts.persist()
+
+    # exact cell histogram: one O(#cells) collect feeds both the
+    # adaptive ring (broadcast re-upload) and the SAT ring expansion
+    hist = pts.groupBy("cell").agg(F.count("*").alias("cellcnt")).collect()
+    counts = {int(r["cell"]): int(r["cellcnt"]) for r in hist}
+    cell_counts = spark.createDataFrame(
+        [(c, n) for c, n in counts.items()] or [(0, 0)],
+        "cell bigint, cellcnt bigint")
+    sat_df = spark.createDataFrame([(_sat_rows(counts),)],
+                                   "sat array<bigint>")
+
     qmeta = _with_ring_bounds(queries, cell_counts, k)
     ring = _ring(qmeta)
+    if plan is not None:
+        ring = (ring.join(m.select("cell", "nsplits"), on="cell",
+                          how="left")
+                .fillna({"nsplits": 1})
+                .withColumn("salt", F.explode(F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.col("nsplits") - 1).cast("long"))))
+                .drop("nsplits"))
+    else:
+        ring = ring.withColumn("salt", F.lit(0).cast("long"))
     if broadcast_queries:
         ring = F.broadcast(ring)
 
     w = Window.partitionBy("qid").orderBy("dist2", "doc_key")
+    # pre-rank: per (cell, salt, qid) top-k before the global window, so
+    # the qid shuffle carries <= 9k rows per query regardless of cell
+    # density (a salted slice's top-k superset keeps every candidate a
+    # cell-level top-k could contain)
+    wpre = Window.partitionBy("cell", "salt", "qid").orderBy(
+        "dist2", "doc_key")
 
     # stage 1: ring candidates, local top-k, kth bound
-    cand1 = (pts.join(ring.select("cell", "qid", "qx", "qy"),
-                      on="cell", how="inner")
+    cand1 = (pts.join(ring.select("cell", "salt", "qid", "qx", "qy"),
+                      on=["cell", "salt"], how="inner")
              .withColumn("dist2", F.expr(_D2))
+             .withColumn("prnk", F.row_number().over(wpre))
+             .where(F.col("prnk") <= k)
+             .drop("prnk")
              .withColumn("rnk", F.row_number().over(w))
              .where(F.col("rnk") <= k)
              .persist())
 
-    # left join keeps queries whose whole ring is empty (cnt=0 -> world)
+    # left join keeps queries whose whole ring is empty (cnt=0)
     agg = cand1.groupBy("qid").agg(F.count("*").alias("cnt"),
                                    F.max("dist2").alias("kth2"))
-    stats = (qmeta.select("qid", "qmx", "qmy", "qx", "qy",
+    stats = (qmeta.select("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
                           "ring_x0", "ring_x1", "ring_y0", "ring_y1")
              .join(agg, on="qid", how="left")
-             .fillna({"cnt": 0}))
-    stats = (stats
-             .withColumn("rm", F.when(
-                 F.col("cnt") < k,
-                 F.lit(C.WORLD_MX).cast("bigint"))
-                 .otherwise((F.ceil(F.sqrt("kth2") * 1000.0) + 1)
-                            .cast("bigint")))
-             .withColumn("done",
-                         (F.col("cnt") >= k) &
-                         (F.col("qmx") - F.col("rm") >= F.col("ring_x0")) &
-                         (F.col("qmx") + F.col("rm") <= F.col("ring_x1")) &
-                         (F.col("qmy") - F.col("rm") >= F.col("ring_y0")) &
-                         (F.col("qmy") + F.col("rm") <= F.col("ring_y1")))
+             .fillna({"cnt": 0})
              .persist())
 
-    done = (cand1.join(stats.where("done").select("qid"), on="qid")
+    # filled queries: exact kth bound from the ring top-k
+    filled = (stats.where(F.col("cnt") >= k)
+              .withColumn("rm", (F.ceil(F.sqrt("kth2") * 1000.0) + 1)
+                          .cast("bigint"))
+              .withColumn("done",
+                          (F.col("qmx") - F.col("rm") >= F.col("ring_x0")) &
+                          (F.col("qmx") + F.col("rm") <= F.col("ring_x1")) &
+                          (F.col("qmy") - F.col("rm") >= F.col("ring_y0")) &
+                          (F.col("qmy") + F.col("rm") <= F.col("ring_y1"))))
+
+    done = (cand1.join(filled.where("done").select("qid"), on="qid")
             .select("qid", "doc_key", "dist2", "rnk"))
 
-    # stage 2: exact radius re-join for boundary queries
-    bq = (stats.where("NOT done")
-          .withColumn("kth2", F.when(F.col("cnt") < k,
-                                     F.lit(float("inf")))
-                      .otherwise(F.col("kth2")))
-          .withColumn("xmin", F.greatest(F.lit(0),
-                                         F.col("qmx") - F.col("rm")))
+    # underfilled queries (< k in the ring): SAT ring expansion — the
+    # smallest power-of-two cell radius whose box holds >= k points (or
+    # all points, when the table itself has < k rows); distance to that
+    # box's far corner (+1 milli guard) is an exact kth upper bound
+    total = sum(counts.values())
+    need = min(k, total) if total else 0
+    under = stats.where(F.col("cnt") < k)
+    exp = (under.crossJoin(F.broadcast(sat_df))
+           .withColumn("_r", F.explode(F.array(
+               *[F.lit(r) for r in _EXPAND_RADII])))
+           .withColumn("_cxa", F.expr("greatest(_cx - _r, 0)"))
+           .withColumn("_cxb", F.expr(f"least(_cx + _r, {C.CELL_CX - 1})"))
+           .withColumn("_cya", F.expr("greatest(_cy - _r, 0)"))
+           .withColumn("_cyb", F.expr(f"least(_cy + _r, {C.CELL_CY - 1})"))
+           .withColumn("_rc", _ring_count_expr(
+               "sat", "_cxa", "_cxb", "_cya", "_cyb"))
+           .where(F.col("_rc") >= F.lit(need))
+           .withColumn("_pick", F.row_number().over(
+               Window.partitionBy("qid").orderBy("_r")))
+           .where(F.col("_pick") == 1)
+           # exact milli bounds of the chosen box (same floor arithmetic
+           # as _with_ring_bounds), far-corner distance -> kth bound
+           .withColumn("_bx0", F.expr(
+               f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) div {C.CELL_CX}"))
+           .withColumn("_bx1", F.expr(
+               f"((_cxb + 1) * {C.WORLD_MX} + {C.CELL_CX - 1}) "
+               f"div {C.CELL_CX} - 1"))
+           .withColumn("_by0", F.expr(
+               f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) div {C.CELL_CY}"))
+           .withColumn("_by1", F.expr(
+               f"((_cyb + 1) * {C.WORLD_MY} + {C.CELL_CY - 1}) "
+               f"div {C.CELL_CY} - 1"))
+           .withColumn("_dxm", F.greatest(F.col("qmx") - F.col("_bx0"),
+                                          F.col("_bx1") - F.col("qmx")))
+           .withColumn("_dym", F.greatest(F.col("qmy") - F.col("_by0"),
+                                          F.col("_by1") - F.col("qmy")))
+           .withColumn("rm", (F.ceil(F.sqrt(
+               (F.col("_dxm") * F.col("_dxm") +
+                F.col("_dym") * F.col("_dym")).cast("double"))) + 1)
+               .cast("bigint"))
+           .withColumn("kth2",
+                       (F.col("rm") * F.col("rm")).cast("double") / 1.0e6)
+           .select("qid", "qmx", "qmy", "qx", "qy", "rm", "kth2"))
+
+    # stage 2: exact radius re-join for boundary + underfilled queries
+    bq = (filled.where("NOT done")
+          .select("qid", "qmx", "qmy", "qx", "qy", "rm", "kth2"))
+    if need:
+        bq = bq.unionByName(exp)
+    bq = (bq.withColumn("xmin", F.greatest(F.lit(0),
+                                           F.col("qmx") - F.col("rm")))
           .withColumn("xmax", F.least(F.lit(C.WORLD_MX - 1),
                                       F.col("qmx") + F.col("rm")))
           .withColumn("ymin", F.greatest(F.lit(0),
@@ -163,8 +309,19 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     boundary = (pts.join(cover, on="cell", how="inner")
                 .withColumn("dist2", F.expr(_D2))
                 .where(F.col("dist2") <= F.col("kth2"))
+                .withColumn("prnk", F.row_number().over(
+                    Window.partitionBy("cell", "salt", "qid")
+                    .orderBy("dist2", "doc_key")))
+                .where(F.col("prnk") <= k)
+                .drop("prnk")
                 .withColumn("rnk", F.row_number().over(w))
                 .where(F.col("rnk") <= k)
                 .select("qid", "doc_key", "dist2", "rnk"))
 
-    return done.unionByName(boundary)
+    result = done.unionByName(boundary)
+    if materialize:
+        result = result.persist()
+        result.count()
+        for df in (pts, cand1, stats):
+            df.unpersist()
+    return result

@@ -1,0 +1,69 @@
+"""kNN scale paths: SAT ring expansion (no world cover), salted stage 1
+(J9), data-side predicate (F6), and the fewer-than-k-points edge —
+each checked bit-exactly against a brute-force cross-join twin."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spatialgraft import datagen
+from spatialgraft.extract import with_geometry
+from spatialgraft.ops.knn import knn_join
+from spatialgraft.partitioner import plan_partitions
+
+_D2 = "(qx - x) * (qx - x) + (qy - y) * (qy - y)"
+
+
+def _brute(points, queries, k, pred=None):
+    pts = points.where(pred) if pred is not None else points
+    w = Window.partitionBy("qid").orderBy("dist2", "doc_key")
+    return (queries.select("qid", "qx", "qy")
+            .crossJoin(pts.select("doc_key", "x", "y"))
+            .withColumn("dist2", F.expr(_D2))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", "doc_key", "dist2", "rnk"))
+
+
+def _assert_same(got_df, want_df):
+    cols = ["qid", "doc_key", "dist2", "rnk"]
+    got = got_df.toPandas().sort_values(cols).reset_index(drop=True)
+    want = want_df.toPandas().sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got[cols].equals(want[cols])
+
+
+def test_ring_expansion_matches_brute_force(spark, sf_smoke):
+    # sf0.001 is sparse over 32k cells: k=25 underfills most 3x3 rings,
+    # exercising the SAT expansion on nearly every query
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    _assert_same(knn_join(pts, qs, k=25), _brute(pts, qs, k=25))
+
+
+def test_fewer_points_than_k(spark, sf_smoke):
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke)).where(
+        F.col("doc_key") % 997 == 0)
+    n = pts.count()
+    assert 0 < n < 10
+    qs = datagen.knn_queries(spark, sf_smoke).limit(7)
+    got = knn_join(pts, qs, k=10)
+    assert got.count() == 7 * n
+    _assert_same(got, _brute(pts, qs, k=10))
+
+
+def test_salted_knn_identical_and_nonvacuous(spark, sf_correct):
+    pts = with_geometry(datagen.documents_spans(spark, sf_correct))
+    qs = datagen.knn_queries(spark, sf_correct)
+    plan = plan_partitions(pts.select("doc_key", "mx", "my"))
+    assert max(ns for _, ns in plan.assignment.values()) > 1, \
+        "skew fixture produced no salted cells"
+    _assert_same(knn_join(pts, qs, k=10, plan=plan),
+                 knn_join(pts, qs, k=10))
+
+
+def test_knn_pred_matches_filtered_brute_force(spark, sf_smoke):
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    pred = "lower(text) LIKE '%flag r%'"
+    _assert_same(knn_join(pts, qs, k=5, pred=pred),
+                 _brute(pts, qs, k=5, pred=F.expr(pred)))
