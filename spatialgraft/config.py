@@ -62,8 +62,17 @@ HEX_OFFSETS = [(2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2)]
 DEFAULT_K = 10
 
 # --- training-data pipeline constants (shared Spark/DuckDB) -------------
-# Char-level polynomial rolling hash: fold (acc*31 + ascii(c)) % FP_MOD.
+# 31-bit modulus used ONLY for MinHash permutation slots and band mixing
+# (sketch width, where collisions are by-design noise, not merges).
 FP_MOD = 2147483647
+
+# ~117-bit document/shingle fingerprint: two independent polynomial
+# folds (acc*P + ascii(c)) % M with primes chosen so acc*P + 255 stays
+# inside int64 in BOTH Spark and DuckDB (P*M + 255 < 2^63).  Birthday
+# collisions start around 2^58 documents — safe past 10^12 docs (the
+# old single 31-bit fold falsely merged distinct docs from ~50k).
+FP2_P1, FP2_M1 = 31, 297528130221121781   # 59-bit prime
+FP2_P2, FP2_M2 = 37, 249280325320399333   # 58-bit prime
 
 # Token shingling for near-dup detection.
 SHINGLE_K = 3
@@ -81,6 +90,8 @@ BAND_MIX = 1000003
 # near-dup hamming threshold.
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
+# 4 bands x 4 bits: pigeonhole-complete pair recall for hamming <= 3
+SIMHASH_BANDS = 4
 
 # Text quality / language-id stopword lists (fixed order = tie order).
 STOP_WORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
@@ -94,4 +105,16 @@ LANG_STOPS = [
 # Similarity search.
 ANN_K = 5
 ANN_QUERY_MOD = 10      # vec_id % ANN_QUERY_MOD == 0 are the probe set
-LSH_SIGN_DIMS = 8       # sign bits of the first D dims form the bucket
+
+# Multi-band hyperplane LSH over the embedding column: ANN_BANDS
+# signatures of ANN_BAND_BITS sign bits each, every bit from a
+# deterministic +-1 hyperplane (seeded by ANN_SIGN_A mod ANN_SIGN_K —
+# shared with the DuckDB oracle).  2 bands x 16 bits = 65,536 buckets
+# per band: at 10^12 vectors a band bucket holds ~1.5e7 rows (vs the
+# old single 8-bit table's 4e9), and union-of-bands recall grows with
+# each extra band — the standard random-hyperplane LSH scale shape.
+ANN_BANDS = 2
+ANN_BAND_BITS = 16
+ANN_SIGN_A = 2654435761
+ANN_SIGN_K = 1000003
+EMB_DIM = 64            # embeddings.embedding is array<float>[64]

@@ -75,11 +75,15 @@ def all_oracles(k: int = C.DEFAULT_K) -> dict[str, str]:
 _TOKS = "string_split_regex(trim(text), ' +')"
 
 
-def _fold(s: str) -> str:
-    # BIGINT seed keeps the whole fold in int64 (acc*31 + 255 < 2^36)
+def _fold(s: str, p: int = C.FP2_P1, m: int = C.FP2_M1) -> str:
+    # BIGINT seed is mandatory: acc*P must fold in int64 (P*M+255 < 2^63)
     return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
             f"[CAST(ascii(c) AS BIGINT) for c in string_split({s}, '')]), "
-            f"(a, b) -> (a * 31 + b) % {C.FP_MOD})")
+            f"(a, b) -> (a * {p} + b) % {m})")
+
+
+def _fold2(s: str) -> str:
+    return _fold(s, C.FP2_P2, C.FP2_M2)
 
 
 def _shingles_cte() -> str:
@@ -89,13 +93,38 @@ def _shingles_cte() -> str:
         "shs AS (SELECT doc_id, unnest([array_to_string(t[i:i+"
         f"{k - 1}], ' ') for i in range(1, len(t) - {k - 2})]) AS s "
         f"FROM toks WHERE len(t) >= {k}), "
-        f"sh AS (SELECT DISTINCT doc_id, {_fold('s')} AS h FROM shs)")
+        f"sh AS (SELECT DISTINCT doc_id, {_fold('s')} AS h1, "
+        f"{_fold2('s')} AS h2 FROM shs)")
 
 
 def _dot(a: str, b: str) -> str:
     return (f"list_reduce(list_prepend(0.0, "
             f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
             f"for i in range(1, len({a}) + 1)]), (x, y) -> x + y)")
+
+
+def _ann_proj(col: str, bi: int) -> str:
+    """Signed hyperplane projection — IEEE-identical twin of
+    pipeline.similarity._proj_expr (left fold, sign * value order)."""
+    from .pipeline.similarity import ann_signs
+    lits = ", ".join(f"{s:.1f}" for s in ann_signs(bi))
+    return (f"list_reduce(list_prepend(0.0, "
+            f"[([{lits}])[d] * CAST({col}[d] AS DOUBLE) "
+            f"for d in range(1, {C.EMB_DIM + 1})]), (x, y) -> x + y)")
+
+
+def _ann_sig(col: str, band: int) -> str:
+    terms = [f"(CASE WHEN {_ann_proj(col, band * C.ANN_BAND_BITS + i)} "
+             f">= 0 THEN {1 << i} ELSE 0 END)"
+             for i in range(C.ANN_BAND_BITS)]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _band_sigs_cte(table: str = "embeddings") -> str:
+    selects = [f"SELECT vec_id, {band} AS band, "
+               f"{_ann_sig('embedding', band)} AS sig FROM {table}"
+               for band in range(C.ANN_BANDS)]
+    return "sigs AS (" + " UNION ALL ".join(selects) + ")"
 
 
 def pipeline_oracles() -> dict[str, str]:
@@ -117,7 +146,7 @@ def pipeline_oracles() -> dict[str, str]:
     lang_case += "ELSE 'unknown' END"
 
     sig_cols = ", ".join(
-        f"min((h * {a} + {b}) % {C.FP_MOD}) AS s{i}"
+        f"min(((h1 % {C.FP_MOD}) * {a} + {b}) % {C.FP_MOD}) AS s{i}"
         for i, (a, b) in enumerate(zip(C.MINHASH_A, C.MINHASH_B)))
     band_selects = []
     for band in range(C.MINHASH_BANDS):
@@ -130,16 +159,11 @@ def pipeline_oracles() -> dict[str, str]:
     bands_cte = " UNION ALL ".join(band_selects)
 
     sum_cols = ", ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        f"sum(CASE WHEN (h1 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(C.SIMHASH_BITS))
     bit_sum = " + ".join(
         f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)"
         for j in range(C.SIMHASH_BITS))
-
-    bucket = lambda col: "CAST(" + " + ".join(  # noqa: E731
-        f"(CASE WHEN CAST({col}[{j + 1}] AS DOUBLE) >= 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(C.LSH_SIGN_DIMS)) + " AS BIGINT)"
 
     cos = (f"({_dot('qemb', 'embedding')}) / "
            f"(sqrt({_dot('qemb', 'qemb')}) * "
@@ -161,18 +185,20 @@ def pipeline_oracles() -> dict[str, str]:
         "lang_id": (
             f"SELECT doc_id, {lang_case} AS lang_pred FROM documents"),
         "fingerprint": (
-            f"SELECT doc_id, {_fold('text')} AS fp FROM documents"),
+            f"SELECT doc_id, {_fold('text')} AS fp1, "
+            f"{_fold2('text')} AS fp2 FROM documents"),
         "exact_dedup": (
             f"SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups "
-            f"FROM (SELECT doc_id, {_fold('text')} AS fp FROM documents) "
-            "GROUP BY fp"),
+            f"FROM (SELECT doc_id, {_fold('text')} AS fp1, "
+            f"{_fold2('text')} AS fp2 FROM documents) "
+            "GROUP BY fp1, fp2"),
         "ngram_jaccard": (
             f"WITH {_shingles_cte()}, "
             "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh "
             "GROUP BY doc_id), "
             "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, "
-            "COUNT(*) AS c FROM sh a JOIN sh b ON a.h = b.h "
-            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "COUNT(*) AS c FROM sh a JOIN sh b ON a.h1 = b.h1 "
+            "AND a.h2 = b.h2 AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT id1, id2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) "
             "AS jaccard FROM common "
             "JOIN sizes n1 ON n1.doc_id = id1 "
@@ -209,13 +235,15 @@ def pipeline_oracles() -> dict[str, str]:
             "FROM pairs) SELECT qid, vec_id, cosine, rnk FROM ranked "
             f"WHERE rnk <= {C.ANN_K}"),
         "lsh_ann": (
-            "WITH data AS (SELECT vec_id, embedding, "
-            f"{bucket('embedding')} AS bucket FROM embeddings), "
-            "probes AS (SELECT vec_id AS qid, embedding AS qemb, "
-            f"{bucket('embedding')} AS bucket FROM embeddings "
+            f"WITH {_band_sigs_cte()}, "
+            "probes AS (SELECT vec_id AS qid, band, sig FROM sigs "
             f"WHERE vec_id % {C.ANN_QUERY_MOD} = 0), "
-            f"pairs AS (SELECT qid, vec_id, {cos} AS cosine "
-            "FROM data JOIN probes USING (bucket) WHERE vec_id <> qid), "
+            "cand AS (SELECT DISTINCT p.qid, s.vec_id FROM sigs s "
+            "JOIN probes p USING (band, sig) WHERE s.vec_id <> p.qid), "
+            f"pairs AS (SELECT qid, c.vec_id, {cos} AS cosine "
+            "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id "
+            "JOIN (SELECT vec_id, embedding AS qemb FROM embeddings) q "
+            "ON q.vec_id = c.qid), "
             "ranked AS (SELECT qid, vec_id, cosine, ROW_NUMBER() OVER "
             "(PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk "
             "FROM pairs) SELECT qid, vec_id, cosine, rnk FROM ranked "
@@ -266,18 +294,17 @@ def misc_oracles() -> dict[str, str]:
 
 
 def cosine_dedup_oracle(tau: float = 0.99) -> str:
-    bucket = "CAST(" + " + ".join(
-        f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) >= 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j in range(C.LSH_SIGN_DIMS)) + " AS BIGINT)"
     cos = (f"({_dot('qemb', 'embedding')}) / "
            f"(sqrt({_dot('qemb', 'qemb')}) * "
            f"sqrt({_dot('embedding', 'embedding')}))")
     return (
-        f"WITH data AS (SELECT vec_id, embedding, {bucket} AS bucket "
-        "FROM embeddings), "
-        "a AS (SELECT vec_id AS id1, embedding AS qemb, bucket FROM data), "
-        "b AS (SELECT vec_id AS id2, embedding, bucket FROM data) "
+        f"WITH {_band_sigs_cte()}, "
+        "cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2 "
+        "FROM sigs a JOIN sigs b USING (band, sig) "
+        "WHERE a.vec_id < b.vec_id) "
         f"SELECT id1, id2, {cos} AS cosine "
-        "FROM a JOIN b USING (bucket) WHERE id1 < id2 "
-        f"AND {cos} >= {tau}")
+        "FROM cand c "
+        "JOIN (SELECT vec_id, embedding AS qemb FROM embeddings) q "
+        "ON q.vec_id = c.id1 "
+        "JOIN embeddings e ON e.vec_id = c.id2 "
+        f"WHERE {cos} >= {tau}")

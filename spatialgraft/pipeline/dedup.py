@@ -16,32 +16,39 @@ from pyspark.sql import functions as F
 from .. import config as C
 from .textstats import TOKENS
 
-_CHARFOLD = (f"aggregate(split({{s}}, ''), 0L, "
-             f"(acc, c) -> (acc * 31 + ascii(c)) % {C.FP_MOD})")
+# ~117-bit fingerprint = two independent int64 polynomial folds
+# (config.FP2_*); identical expression shape in the DuckDB oracle.
+_FOLD1 = (f"aggregate(split({{s}}, ''), 0L, "
+          f"(acc, c) -> (acc * {C.FP2_P1} + ascii(c)) % {C.FP2_M1})")
+_FOLD2 = (f"aggregate(split({{s}}, ''), 0L, "
+          f"(acc, c) -> (acc * {C.FP2_P2} + ascii(c)) % {C.FP2_M2})")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
-    """Exact duplicate groups by full-text hash: (keep_id, n_dups).
+    """Exact duplicate groups by full-text fingerprint: (keep_id, n_dups).
 
-    keep_id = min doc_id of the group; n_dups = group size.  At scale the
-    groupBy key is the 64-bit fp, not the text itself."""
-    fp = _CHARFOLD.format(s="text")
-    return (docs.selectExpr("doc_id", f"{fp} AS fp")
-            .groupBy("fp")
+    keep_id = min doc_id of the group; n_dups = group size.  The groupBy
+    key is the ~117-bit (fp1, fp2) pair, never the text itself — false
+    merges are birthday-bounded at ~2^58 docs."""
+    return (docs.selectExpr("doc_id",
+                            _FOLD1.format(s="text") + " AS fp1",
+                            _FOLD2.format(s="text") + " AS fp2")
+            .groupBy("fp1", "fp2")
             .agg(F.min("doc_id").alias("keep_id"),
                  F.count("*").alias("n_dups"))
             .select("keep_id", "n_dups"))
 
 
 def shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): distinct hashed token 3-grams per document."""
+    """(doc_id, h1, h2): distinct ~117-bit-hashed token 3-grams per doc."""
     sh = (f"transform(sequence(1, size({TOKENS}) - {C.SHINGLE_K - 1}), "
           f"i -> concat_ws(' ', slice({TOKENS}, i, {C.SHINGLE_K})))")
-    hexpr = _CHARFOLD.format(s="s")
     return (docs.selectExpr("doc_id", f"{sh} AS shs")
             .where(f"size({TOKENS}) >= {C.SHINGLE_K}")
             .select("doc_id", F.explode("shs").alias("s"))
-            .selectExpr("doc_id", f"{hexpr} AS h")
+            .selectExpr("doc_id",
+                        _FOLD1.format(s="s") + " AS h1",
+                        _FOLD2.format(s="s") + " AS h2")
             .distinct())
 
 
@@ -55,7 +62,7 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (a.join(b, on="h")
+    common = (a.join(b, on=["h1", "h2"])
               .where(F.col("a.doc_id") < F.col("b.doc_id"))
               .groupBy(F.col("a.doc_id").alias("id1"),
                        F.col("b.doc_id").alias("id2"))
@@ -74,8 +81,11 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, s0..s{H-1}) MinHash signature."""
     sh = shingle_hashes(docs)
-    aggs = [F.min(F.expr(f"(h * {a} + {b}) % {C.FP_MOD}")).alias(f"s{i}")
-            for i, (a, b) in enumerate(zip(C.MINHASH_A, C.MINHASH_B))]
+    # permutation slots live in 31-bit space (sketch width): project the
+    # 59-bit shingle hash down first so h*A never overflows int64
+    aggs = [F.min(F.expr(
+        f"((h1 % {C.FP_MOD}) * {a} + {b}) % {C.FP_MOD}")).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(C.MINHASH_A, C.MINHASH_B))]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -104,7 +114,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     shd = shingle_hashes(docs)
     sums = shd.groupBy("doc_id").agg(*[
         F.sum(F.expr(
-            f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END"))
+            f"CASE WHEN (h1 >> {j}) & 1 = 1 THEN 1 ELSE -1 END"))
         .alias(f"b{j}") for j in range(C.SIMHASH_BITS)])
     bits = " + ".join(
         f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)"
@@ -116,14 +126,32 @@ def simhash_pairs(docs: DataFrame,
                   max_hamming: int = C.SIMHASH_MAX_HAMMING) -> DataFrame:
     """(id1, id2, hamming) pairs within the SimHash hamming threshold.
 
-    All-pairs compare on the compact per-doc sketch (one int per doc) —
-    at scale, band the 16 bits into 2x8-bit keys and join instead."""
+    Banded equi-join, never all-pairs: the 16-bit sketch splits into 4
+    bands of 4 bits; by pigeonhole any pair with hamming <= 3 agrees
+    exactly on at least one band, so the (band, bits) equi-join is
+    recall-complete for the threshold.  Exact hamming verify + distinct
+    (a pair may share several bands) finish the job — the same
+    band->join->verify shape as minhash_lsh_pairs, O(n * band_width)
+    shuffle instead of O(n^2)."""
+    assert C.SIMHASH_BITS // C.SIMHASH_BANDS * C.SIMHASH_BANDS \
+        == C.SIMHASH_BITS
+    width = C.SIMHASH_BITS // C.SIMHASH_BANDS
+    assert max_hamming < C.SIMHASH_BANDS, \
+        "pigeonhole recall needs bands > max_hamming"
     s = simhash(docs)
-    a, b = s.alias("a"), s.alias("b")
-    return (a.crossJoin(b)
+    mask = (1 << width) - 1
+    bands = None
+    for band in range(C.SIMHASH_BANDS):
+        piece = s.selectExpr(
+            "doc_id", "sh", f"{band} AS band",
+            f"(sh >> {band * width}) & {mask} AS bb")
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, on=["band", "bb"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .withColumn("hamming",
                         F.expr("CAST(bit_count(a.sh ^ b.sh) AS BIGINT)"))
             .where(F.col("hamming") <= max_hamming)
             .select(F.col("a.doc_id").alias("id1"),
-                    F.col("b.doc_id").alias("id2"), "hamming"))
+                    F.col("b.doc_id").alias("id2"), "hamming")
+            .distinct())

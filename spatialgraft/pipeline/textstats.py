@@ -59,9 +59,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
-    """doc_id, fp — char-level polynomial rolling hash of the text
-    (document fingerprinting; exact parity with the DuckDB fold)."""
+    """doc_id, fp1, fp2 — ~117-bit char-level rolling-hash fingerprint
+    (two independent int64 polynomial folds, config.FP2_*; exact parity
+    with the DuckDB folds; collision-free to ~2^58 docs)."""
     return docs.selectExpr(
         "doc_id",
         f"aggregate(split(text, ''), 0L, "
-        f"(acc, c) -> (acc * 31 + ascii(c)) % {C.FP_MOD}) AS fp")
+        f"(acc, c) -> (acc * {C.FP2_P1} + ascii(c)) % {C.FP2_M1}) AS fp1",
+        f"aggregate(split(text, ''), 0L, "
+        f"(acc, c) -> (acc * {C.FP2_P2} + ascii(c)) % {C.FP2_M2}) AS fp2")
