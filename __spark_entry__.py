@@ -184,6 +184,68 @@ def _q_to_wkt(spark, sf_dir):
     return misc.to_wkt(_points(spark, sf_dir))
 
 
+def _q_intersects_join(spark, sf_dir):
+    from spatialgraft.ops import range as rops
+    return rops.intersects_join(datagen.data_boxes(spark, sf_dir),
+                                datagen.query_boxes(spark, sf_dir))
+
+
+def _q_multiput_get(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from spatialgraft.ops import misc
+    pts = _points(spark, sf_dir)
+    base = pts.selectExpr("mx", "my", "CAST(1 AS BIGINT) AS v")
+    upd = pts.where("doc_key % 97 = 0").selectExpr(
+        "mx", "my", "CAST(100 AS BIGINT) AS v")
+    merged = misc.multiput(base, upd, ["mx", "my"], "v", merge="sum")
+    keys = pts.where("doc_key % 97 = 0").select("mx", "my").distinct()
+    return merged.join(F.broadcast(keys), on=["mx", "my"])
+
+
+def _q_spatio_textual_knn(spark, sf_dir):
+    from spatialgraft.ops import knn as kops
+    return kops.knn_join(_points(spark, sf_dir),
+                         datagen.knn_queries(spark, sf_dir), k=5,
+                         pred="lower(text) LIKE '%flag r%'")
+
+
+def _q_range_join_count_salted(spark, sf_dir):
+    from spatialgraft.ops import range as rops
+    from spatialgraft.partitioner import plan_partitions
+    pts = _points(spark, sf_dir)
+    plan = plan_partitions(pts.select("doc_key", "mx", "my"))
+    return rops.range_join_count_salted(
+        pts, datagen.query_boxes(spark, sf_dir), plan)
+
+
+def _q_range_filter_indexed(spark, sf_dir):
+    import tempfile
+
+    from spatialgraft import index
+    path = tempfile.mkdtemp(prefix="sg_idx_") + "/pts"
+    index.write_indexed(
+        _points(spark, sf_dir).select("doc_key", "mx", "my"), path)
+    return index.range_filter_indexed(spark, path, *HOTSPOT).select(
+        "doc_key", "mx", "my")
+
+
+def _q_checkpoint_range_join(spark, sf_dir):
+    import tempfile
+
+    from spatialgraft.checkpoint import checkpointed_range_join
+    root = tempfile.mkdtemp(prefix="sg_ckpt_")
+    checkpointed_range_join(spark, sf_dir, root)  # cold run: commits
+    return checkpointed_range_join(spark, sf_dir, root)  # resumed run
+
+
+def _q_tile_rollup(spark, sf_dir):
+    from spatialgraft.session import load_table
+    from spatialgraft.streaming import tile_rollup_batch
+    ev = load_table(spark, sf_dir, "events")
+    return tile_rollup_batch(ev).selectExpr(
+        "CAST(window_start AS LONG) AS window_start_s", "tile", "cnt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_join_count": _q_range_join_count,
@@ -211,6 +273,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_in_box": _q_count_in_box,
         "cell_histogram": _q_cell_histogram,
         "to_wkt": _q_to_wkt,
+        "intersects_join": _q_intersects_join,
+        "multiput_get": _q_multiput_get,
+        "spatio_textual_knn": _q_spatio_textual_knn,
+        "range_join_count_salted": _q_range_join_count_salted,
+        "range_filter_indexed": _q_range_filter_indexed,
+        "checkpoint_range_join": _q_checkpoint_range_join,
+        "tile_rollup": _q_tile_rollup,
     }
 
 
@@ -218,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from spatialgraft.oracles import (all_oracles, cosine_dedup_oracle,
-                                      misc_oracles, pipeline_oracles)
+                                      extension_oracles, misc_oracles,
+                                      pipeline_oracles)
     return {**all_oracles(k=C.DEFAULT_K), **pipeline_oracles(),
-            **misc_oracles(), "cosine_dedup": cosine_dedup_oracle(0.35)}
+            **misc_oracles(), **extension_oracles(k_st=5),
+            "cosine_dedup": cosine_dedup_oracle(0.35)}

@@ -67,6 +67,13 @@ def query_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sqlgen.boxes_cte("spark"))
 
 
+def data_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dbox_id, xmin, ymin, xmax, ymax): box-geometry DATA entries
+    (one per document), from lineitem."""
+    load_table(spark, sf_dir, "lineitem")
+    return spark.sql(sqlgen.data_boxes_cte("spark"))
+
+
 def knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, qmx, qmy, qx, qy) kNN probe points, from orders."""
     load_table(spark, sf_dir, "orders")

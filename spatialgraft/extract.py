@@ -22,10 +22,21 @@ _POINT_RE = r"POINT\((?P<gmx>\d+) (?P<gmy>\d+)\)"
 
 def _one_per_parent(values: pa.Array, parents: pa.Array, n_rows: int,
                     what: str) -> pa.Array:
+    """Enforce exactly one `what` span per document.  The count check
+    alone would accept a batch where one doc has two spans and another
+    has zero (misattributing geometry row-by-row); the alignment check
+    pins span i to document i."""
     if len(values) != n_rows:
         raise ValueError(
             f"expected exactly one {what} span per document; "
             f"got {len(values)} spans for {n_rows} rows")
+    if n_rows == 0:
+        return values
+    expected = pa.array(range(n_rows), type=parents.type)
+    aligned = pc.all(pc.equal(parents, expected))
+    if not (aligned.is_valid and aligned.as_py()):
+        raise ValueError(
+            f"{what} spans misaligned: some document has != 1 span")
     return values
 
 

@@ -92,6 +92,24 @@ def put(points: DataFrame, new_rows: DataFrame) -> DataFrame:
     return points.unionByName(new_rows, allowMissingColumns=True)
 
 
+_MERGES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def multiput(table: DataFrame, updates: DataFrame,
+             key_cols: list[str], value_col: str,
+             merge: str = "sum") -> DataFrame:
+    """Merge-on-key multiput: inserting an existing key combines the old
+    and new values with `merge` (the reference's user merge function z/f
+    on collision, SpatialRdd.scala:70-89 — README's SumFunction).  A new
+    DataFrame is returned (immutable index semantics); a missing key is
+    a plain insert.  Shape at scale: one union + one partial/final agg
+    shuffle on the key."""
+    agg = _MERGES[merge]
+    cols = [*key_cols, value_col]
+    u = table.select(*cols).unionByName(updates.select(*cols))
+    return u.groupBy(*key_cols).agg(agg(value_col).alias(value_col))
+
+
 def delete(points: DataFrame, keys: DataFrame) -> DataFrame:
     """Delete by doc_key: left anti join, new DataFrame returned."""
     return points.join(keys.select("doc_key"), on="doc_key",

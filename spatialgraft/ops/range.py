@@ -91,6 +91,40 @@ def spatio_textual_filter(points: DataFrame, xmin: int, ymin: int,
         F.lower(F.col("text")).contains(needle.lower()))
 
 
+INTERSECTS = ("d_xmin <= xmax AND xmin <= d_xmax AND "
+              "d_ymin <= ymax AND ymin <= d_ymax")
+
+
+def intersects_join(dboxes: DataFrame, qboxes: DataFrame,
+                    broadcast_queries: bool = _BROADCAST_DEFAULT
+                    ) -> DataFrame:
+    """F3: box-data x box-query intersects join -> (box_id, dbox_id).
+
+    Border-inclusive interval overlap on both axes — the reference's
+    Geom.intersects / RTree.searchIntersection semantics
+    (reference Geom.scala:96-97, rtree/RTree.scala:803-810).  Both
+    sides multicast to their covering cells and hash-join on cell; a
+    pair overlapping several cells is emitted exactly once via the
+    reference-point rule (only the cell owning the intersection's
+    lower-left corner reports it), so no distinct shuffle is needed —
+    the standard dedup-free partitioned spatial-join shape."""
+    from ..cells import cell_expr
+
+    d = cover_cells(dboxes.selectExpr(
+        "dbox_id", "xmin AS d_xmin", "ymin AS d_ymin",
+        "xmax AS d_xmax", "ymax AS d_ymax"),
+        xmin="d_xmin", ymin="d_ymin", xmax="d_xmax", ymax="d_ymax")
+    q = cover_cells(qboxes)
+    if broadcast_queries:
+        q = F.broadcast(q)
+    refpt_cell = cell_expr("greatest(d_xmin, xmin)",
+                           "greatest(d_ymin, ymin)")
+    return (d.join(q, on="cell", how="inner")
+            .where(F.expr(INTERSECTS))
+            .where(F.col("cell") == refpt_cell)
+            .select("box_id", "dbox_id"))
+
+
 def range_join_count_salted(points: DataFrame, boxes: DataFrame,
                             plan) -> DataFrame:
     """J8: skew-scheduled range join — the explicit analogue of the

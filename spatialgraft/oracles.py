@@ -293,6 +293,70 @@ def misc_oracles() -> dict[str, str]:
     }
 
 
+def extension_oracles(k_st: int = 5) -> dict[str, str]:
+    """Oracles for the F3/multiput/F6 extensions and the promoted
+    pytest-only operators (salted join, indexed filter, checkpoint
+    resume, streaming batch twin) — semantics-level SQL; the engine's
+    physical tricks (salting, reference-point dedup, manifests) must be
+    invisible in the result."""
+    pts = sqlgen.points_cte()
+    boxes = sqlgen.boxes_cte()
+    dbx = sqlgen.data_boxes_cte()
+    q = sqlgen.knn_queries_cte()
+    x0, y0, x1, y1 = HOTSPOT
+    d2 = "(q.qx - p.x)*(q.qx - p.x) + (q.qy - p.y)*(q.qy - p.y)"
+    rjc = (
+        f"WITH pts AS ({pts}), boxes AS ({boxes}) "
+        "SELECT b.box_id AS box_id, COUNT(*) AS cnt "
+        "FROM boxes b JOIN pts p "
+        "ON p.mx BETWEEN b.xmin AND b.xmax "
+        "AND p.my BETWEEN b.ymin AND b.ymax GROUP BY 1")
+    emx = f"((CAST(event_id AS BIGINT) * {C.PT_A1} + 99991) % {C.WORLD_MX})"
+    emy = f"((CAST(event_id AS BIGINT) * {C.PT_A2} + 77773) % {C.WORLD_MY})"
+    tile = (f"(({emx} * {C.TILE_TX}) // {C.WORLD_MX}) * {C.TILE_TY} "
+            f"+ (({emy} * {C.TILE_TY}) // {C.WORLD_MY})")
+    return {
+        "intersects_join": (
+            f"WITH dbx AS ({dbx}), boxes AS ({boxes}) "
+            "SELECT b.box_id AS box_id, d.dbox_id AS dbox_id "
+            "FROM boxes b JOIN dbx d "
+            "ON d.xmin <= b.xmax AND b.xmin <= d.xmax "
+            "AND d.ymin <= b.ymax AND b.ymin <= d.ymax"),
+        "multiput_get": (
+            f"WITH pts AS ({pts}), "
+            "base AS (SELECT mx, my, CAST(1 AS BIGINT) AS v FROM pts), "
+            "upd AS (SELECT mx, my, CAST(100 AS BIGINT) AS v FROM pts "
+            "WHERE doc_key % 97 = 0), "
+            "merged AS (SELECT mx, my, CAST(SUM(v) AS BIGINT) AS v "
+            "FROM (SELECT * FROM base UNION ALL SELECT * FROM upd) u "
+            "GROUP BY mx, my), "
+            "keys AS (SELECT DISTINCT mx, my FROM pts "
+            "WHERE doc_key % 97 = 0) "
+            "SELECT m.mx AS mx, m.my AS my, m.v AS v "
+            "FROM merged m JOIN keys USING (mx, my)"),
+        "spatio_textual_knn": (
+            f"WITH pts AS ({pts}), q AS ({q}), "
+            "f AS (SELECT * FROM pts "
+            "WHERE lower(textline) LIKE '%flag r%'), "
+            f"pairs AS (SELECT q.qid, p.doc_key, {d2} AS dist2, "
+            f"ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {d2}, "
+            "p.doc_key) AS rnk FROM q CROSS JOIN f p) "
+            "SELECT qid, doc_key, dist2, rnk FROM pairs "
+            f"WHERE rnk <= {k_st}"),
+        "range_join_count_salted": rjc,
+        "checkpoint_range_join": rjc,
+        "range_filter_indexed": (
+            f"WITH pts AS ({pts}) SELECT doc_key, mx, my FROM pts "
+            f"WHERE mx BETWEEN {x0} AND {x1} AND my BETWEEN {y0} AND {y1}"),
+        "tile_rollup": (
+            # epoch_us//...: integer floor — CAST(epoch(ts) AS BIGINT)
+            # would ROUND the fractional second and shift boundary rows
+            "SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) "
+            f"* 300 AS window_start_s, {tile} AS tile, COUNT(*) AS cnt "
+            "FROM events GROUP BY 1, 2"),
+    }
+
+
 def cosine_dedup_oracle(tau: float = 0.99) -> str:
     cos = (f"({_dot('qemb', 'embedding')}) / "
            f"(sqrt({_dot('qemb', 'qemb')}) * "

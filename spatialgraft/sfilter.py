@@ -31,13 +31,24 @@ def presence_cells(points: DataFrame) -> set[int]:
     return {int(r["cell"]) for r in rows}
 
 
+# Above this size, an isin() literal list bloats the compiled plan and
+# re-ships the whole set inside every task binary; a broadcast semi-join
+# ships it once per executor instead.
+_ISIN_MAX = 1024
+
+
 def prune_cover(cover: DataFrame,
                 cells: set[int] | SpatialPartitioning) -> DataFrame:
     """Drop multicast (query, cell) rows whose cell holds no data.
 
-    `isin` over a driver-side set compiles to an efficient in-set
-    predicate; for very large cell sets a broadcast semi-join would be
-    the fallback, but the set is bounded by N_CELLS."""
+    Small sets compile to an in-set predicate; large ones (up to
+    N_CELLS) go through a broadcast LEFT SEMI join so the plan stays
+    small and the set ships once per executor, not once per task."""
     if isinstance(cells, SpatialPartitioning):
         cells = set(cells.assignment)
-    return cover.where(F.col("cell").isin(list(cells)))
+    if len(cells) <= _ISIN_MAX:
+        return cover.where(F.col("cell").isin(list(cells)))
+    spark = cover.sparkSession
+    present = spark.createDataFrame(
+        [(int(c),) for c in sorted(cells)], "cell bigint")
+    return cover.join(F.broadcast(present), on="cell", how="left_semi")

@@ -73,6 +73,30 @@ def boxes_cte(dialect: str = "duckdb") -> str:
             f"FROM part")
 
 
+def data_boxes_cte(dialect: str = "duckdb") -> str:
+    """Data-side box set (F3): one small box per document, centered on
+    the document's point location (same derivation as points_cte) —
+    box-geometry data entries like the reference's Box entries
+    (reference Geom.scala:184-221).  dbox_id = doc_key."""
+    k = "k"
+    inner = ("SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 8 "
+             "+ CAST(l_linenumber AS BIGINT) AS k FROM lineitem")
+    h1 = f"(({k} * {C.PT_A1} + {C.PT_B1}) % {C.WORLD_MX})"
+    h2 = f"(({k} * {C.PT_A2} + {C.PT_B2}) % {C.WORLD_MY})"
+    cx = (f"(CASE WHEN {k} % 5 = 0 THEN {C.HOT_MX0} + ({h1} % {C.HOT_MXW}) "
+          f"ELSE {h1} END)")
+    cy = (f"(CASE WHEN {k} % 5 = 0 THEN {C.HOT_MY0} + ({h2} % {C.HOT_MYW}) "
+          f"ELSE {h2} END)")
+    bw = f"(200 + ({k} * 13) % 1300)"
+    bh = f"(100 + ({k} * 17) % 650)"
+    return (f"SELECT {k} AS dbox_id, "
+            f"GREATEST(0, {cx} - {bw}) AS xmin, "
+            f"GREATEST(0, {cy} - {bh}) AS ymin, "
+            f"LEAST({C.WORLD_MX - 1}, {cx} + {bw}) AS xmax, "
+            f"LEAST({C.WORLD_MY - 1}, {cy} + {bh}) AS ymax "
+            f"FROM ({inner}) base")
+
+
 def knn_queries_cte(dialect: str = "duckdb") -> str:
     """kNN query points from orders (every 16th): qid, qmx, qmy, qx, qy."""
     q = "CAST(o_orderkey AS BIGINT)"

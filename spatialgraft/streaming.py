@@ -44,9 +44,11 @@ def tile_rollup_stream(spark: SparkSession, events_path: str,
                        query_name: str = "tile_rollup"):
     """Streaming tile rollup over a parquet-backed stream.
 
-    Complete output mode to a memory sink for sandbox validation; a
-    production deployment swaps the sink for Kafka/Iceberg and 'update'
-    mode.  Returns the StreamingQuery (caller stops it)."""
+    'update' output mode: the watermark actually finalizes windows and
+    evicts their state (in 'complete' mode a watermark is inert and
+    state grows forever — the scale bug this mode choice avoids).  The
+    memory sink is the sandbox stand-in; a production deployment swaps
+    in Kafka/Iceberg.  Returns the StreamingQuery (caller stops it)."""
     events = (spark.readStream.schema(schema)
               .parquet(events_path))
     loc = _located(events).withColumn("tile", tile_expr())
@@ -54,5 +56,5 @@ def tile_rollup_stream(spark: SparkSession, events_path: str,
            .groupBy(F.window("ts", window).alias("w"), "tile")
            .agg(F.count("*").alias("cnt"))
            .select(F.col("w.start").alias("window_start"), "tile", "cnt"))
-    return (agg.writeStream.outputMode("complete")
+    return (agg.writeStream.outputMode("update")
             .format("memory").queryName(query_name).start())
