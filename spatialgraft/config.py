@@ -61,6 +61,15 @@ HEX_OFFSETS = [(2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2)]
 
 DEFAULT_K = 10
 
+# kNN stage 1 samples cells denser than 3k*KNN_SAMPLE_MOD at rate
+# 1/KNN_SAMPLE_MOD: the sampled kth distance is a valid (slightly
+# looser) upper bound, and stage 2 re-joins the FULL data under that
+# bound with the dist2 filter ahead of any sort — so stage-1 sort
+# volume stops scaling with cell density (the 100 TB hotspot killer;
+# exactness is untouched because dense-ring queries are never marked
+# done in stage 1).
+KNN_SAMPLE_MOD = 8
+
 # --- training-data pipeline constants (shared Spark/DuckDB) -------------
 # 31-bit modulus used ONLY for MinHash permutation slots and band mixing
 # (sketch width, where collisions are by-design noise, not merges).

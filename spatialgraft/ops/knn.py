@@ -176,7 +176,16 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
                .drop("nsplits"))
     else:
         pts = pts.withColumn("salt", F.lit(0).cast("long"))
-    pts = pts.persist()
+    # Repartition by (cell, salt) to the session shuffle width BEFORE
+    # caching: (a) partition count then scales with configuration, not
+    # core count — an input cached in defaultParallelism partitions made
+    # each stage-1 map task sort (candidates/cores) rows and OOM at 24x
+    # input on one executor; (b) hash(cell, salt) satisfies the
+    # pre-rank window's clustering, so both window sorts run in place
+    # with NO exchange of the candidate stream — the only full-data
+    # shuffle in the whole join is this one slim-projection shuffle.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pts = pts.repartition(n_parts, "cell", "salt").persist()
 
     # exact cell histogram: one O(#cells) collect feeds both the
     # adaptive ring (broadcast re-upload) and the SAT ring expansion
@@ -211,9 +220,25 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     wpre = Window.partitionBy("cell", "salt", "qid").orderBy(
         "dist2", "doc_key")
 
+    # stage 1 samples very dense cells at 1/KNN_SAMPLE_MOD: the sampled
+    # kth distance is still a valid upper bound (fewer points -> larger
+    # kth), and no query whose ring touches a sampled cell is ever
+    # marked done — stage 2 redoes it exactly against the FULL data.
+    # This caps stage-1 sort volume per cell instead of letting it grow
+    # with density (the filter runs on the cached cells, so the
+    # (cell, salt) partitioning is preserved and both windows stay
+    # exchange-free).
+    dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
+    pts1 = (pts.join(F.broadcast(cell_counts), on="cell", how="left")
+            .fillna({"cellcnt": 0})
+            .where((F.col("cellcnt") < dense_thresh) |
+                   (F.pmod(F.xxhash64(F.col("doc_key") * 2 + 1),
+                           F.lit(C.KNN_SAMPLE_MOD).cast("long")) == 0))
+            .drop("cellcnt"))
+
     # stage 1: ring candidates, local top-k, kth bound
-    cand1 = (pts.join(ring.select("cell", "salt", "qid", "qx", "qy"),
-                      on=["cell", "salt"], how="inner")
+    cand1 = (pts1.join(ring.select("cell", "salt", "qid", "qx", "qy"),
+                       on=["cell", "salt"], how="inner")
              .withColumn("dist2", F.expr(_D2))
              .withColumn("prnk", F.row_number().over(wpre))
              .where(F.col("prnk") <= k)
@@ -222,20 +247,29 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
              .where(F.col("rnk") <= k)
              .persist())
 
-    # left join keeps queries whose whole ring is empty (cnt=0)
+    # left join keeps queries whose whole ring is empty (cnt=0);
+    # ring_sum (true counts via SAT) detects rings touching sampled
+    # cells: sum >= dense_thresh is conservative (sum >= max)
     agg = cand1.groupBy("qid").agg(F.count("*").alias("cnt"),
                                    F.max("dist2").alias("kth2"))
-    stats = (qmeta.select("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
-                          "ring_x0", "ring_x1", "ring_y0", "ring_y1")
+    stats = (qmeta.crossJoin(F.broadcast(sat_df))
+             .withColumn("ring_sum", _ring_count_expr(
+                 "sat", "_cxa", "_cxb", "_cya", "_cyb"))
+             .select("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
+                     "ring_sum",
+                     "ring_x0", "ring_x1", "ring_y0", "ring_y1")
              .join(agg, on="qid", how="left")
              .fillna({"cnt": 0})
              .persist())
 
-    # filled queries: exact kth bound from the ring top-k
+    # filled queries: exact kth bound from the ring top-k; done only
+    # when the ring was complete (no sampled cell) AND the kth-radius
+    # box sits inside the ring
     filled = (stats.where(F.col("cnt") >= k)
               .withColumn("rm", (F.ceil(F.sqrt("kth2") * 1000.0) + 1)
                           .cast("bigint"))
               .withColumn("done",
+                          (F.col("ring_sum") < dense_thresh) &
                           (F.col("qmx") - F.col("rm") >= F.col("ring_x0")) &
                           (F.col("qmx") + F.col("rm") <= F.col("ring_x1")) &
                           (F.col("qmy") - F.col("rm") >= F.col("ring_y0")) &
