@@ -6,14 +6,23 @@ as pure DataFrame operations (whole-stage codegen end to end — an earlier
 applyInPandas cogroup variant was 10-30x slower at scale because the
 grouped-Arrow plumbing dominates):
 
+  layout   the slim point projection repartitions by (cell, salt) to
+           the session shuffle width and caches: partition sizing then
+           follows configuration (spark.sql.shuffle.partitions), not
+           core count, and hash(cell, salt) satisfies every window's
+           clustering below — the candidate stream is never exchanged.
   stage 1  each query is multicast to the cell ring around its home cell
            (bounded fan-out, like the reference's local `knnjoin_`,
-           RtreePartition.scala:248-292); an equi-join on cell + a
-           per-(cell, qid) pre-rank (row_number <= k) bounds the rows
-           entering the global qid window to <= 9k per query no matter
-           how dense the cell is, then the global window rank
+           RtreePartition.scala:248-292); an equi-join on (cell, salt)
+           + a per-(cell, salt, qid) pre-rank (row_number <= k) bounds
+           the rows entering the global qid window to <= 9k per query
+           no matter how dense the cell is, then the global window rank
            (dist2, doc_key) gives k local candidates and the
-           kth-distance upper bound kth2.
+           kth-distance upper bound kth2.  Cells denser than
+           3k*KNN_SAMPLE_MOD participate at rate 1/KNN_SAMPLE_MOD —
+           the sampled kth is still a valid upper bound and such rings
+           are never marked done, so stage-1 sort volume is
+           density-capped while exactness moves wholesale to stage 2.
   split    DONE queries: ring held >= k candidates and the kth-radius
            box lies inside the ring's exact milli bounds -> the local
            top-k is the true kNN (correctKNN/nextRoundKNN split,

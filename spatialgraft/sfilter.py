@@ -37,6 +37,28 @@ def presence_cells(points: DataFrame) -> set[int]:
 _ISIN_MAX = 1024
 
 
+def query_box_with_p(cells: set[int] | SpatialPartitioning,
+                     xmin: int, ymin: int, xmax: int, ymax: int) -> float:
+    """Empty-area ratio of a query box: the fraction of its covering
+    cells that hold no data — the reference's probabilistic
+    `queryBoxWithP` surface (SBQTree.scala:257), answered exactly from
+    the presence set instead of a lossy bit tree.  1.0 = the box can be
+    skipped entirely; a scheduler can deprioritize boxes above a
+    threshold before any shuffle."""
+    from . import config as C
+    if isinstance(cells, SpatialPartitioning):
+        cells = set(cells.assignment)
+    cx0 = xmin * C.CELL_CX // C.WORLD_MX
+    cx1 = xmax * C.CELL_CX // C.WORLD_MX
+    cy0 = ymin * C.CELL_CY // C.WORLD_MY
+    cy1 = ymax * C.CELL_CY // C.WORLD_MY
+    total = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    empty = sum(1 for cx in range(cx0, cx1 + 1)
+                for cy in range(cy0, cy1 + 1)
+                if cx * C.CELL_CY + cy not in cells)
+    return empty / total if total else 1.0
+
+
 def prune_cover(cover: DataFrame,
                 cells: set[int] | SpatialPartitioning) -> DataFrame:
     """Drop multicast (query, cell) rows whose cell holds no data.
