@@ -3,7 +3,8 @@
 # calibration with each pair. Appends JSON lines to $OUT.
 OUT=${OUT:-/tmp/gate.jsonl}
 REP=${REP:-288}
-PAIRS=${PAIRS:-3}
+export SPARK_GRAFT_QUERY_REP=${QREP:-8}
+PAIRS=${PAIRS:-4}
 cd /root/repo
 for i in $(seq 1 $PAIRS); do
   cal=$(python - <<'PY'

@@ -19,10 +19,12 @@ grouped-Arrow plumbing dominates):
            no matter how dense the cell is, then the global window rank
            (dist2, doc_key) gives k local candidates and the
            kth-distance upper bound kth2.  Cells denser than
-           3k*KNN_SAMPLE_MOD participate at rate 1/KNN_SAMPLE_MOD —
-           the sampled kth is still a valid upper bound and such rings
-           are never marked done, so stage-1 sort volume is
-           density-capped while exactness moves wholesale to stage 2.
+           3k*KNN_SAMPLE_MOD participate at a density-adaptive rate
+           1/ceil(sqrt(cellcnt/3k)) — the sampled kth is still a valid
+           upper bound and such rings are never marked done, so both
+           stage-1 candidate volume and stage-2 bound-radius survivors
+           grow as sqrt(k*cellcnt) instead of cellcnt while exactness
+           moves wholesale to stage 2.
   split    DONE queries: ring held >= k candidates and the kth-radius
            box lies inside the ring's exact milli bounds -> the local
            top-k is the true kNN (correctKNN/nextRoundKNN split,
@@ -237,13 +239,22 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # with density (the filter runs on the cached cells, so the
     # (cell, salt) partitioning is preserved and both windows stay
     # exchange-free).
+    # Density-adaptive rate: a cell of count c >= dense_thresh keeps
+    # ~sqrt(3k*c) points (rate 1/ceil(sqrt(c/3k))), which balances
+    # stage-1 candidate volume against stage-2 bound-radius survivors —
+    # both then grow as sqrt(k*c) instead of c (a fixed rate still let
+    # hot cells dominate at 100x density).
     dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
+    m_expr = F.when(
+        F.col("cellcnt") < dense_thresh, F.lit(1).cast("long")).otherwise(
+        F.ceil(F.sqrt(F.col("cellcnt").cast("double") / (3.0 * k)))
+        .cast("long"))
     pts1 = (pts.join(F.broadcast(cell_counts), on="cell", how="left")
             .fillna({"cellcnt": 0})
-            .where((F.col("cellcnt") < dense_thresh) |
-                   (F.pmod(F.xxhash64(F.col("doc_key") * 2 + 1),
-                           F.lit(C.KNN_SAMPLE_MOD).cast("long")) == 0))
-            .drop("cellcnt"))
+            .withColumn("_m", m_expr)
+            .where(F.pmod(F.xxhash64(F.col("doc_key") * 2 + 1),
+                          F.col("_m")) == 0)
+            .drop("cellcnt", "_m"))
 
     # stage 1: ring candidates, local top-k, kth bound
     cand1 = (pts1.join(ring.select("cell", "salt", "qid", "qx", "qy"),

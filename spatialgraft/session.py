@@ -36,6 +36,11 @@ def get_spark(app: str = "spatialgraft",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # spill-merge read-ahead allocates a 1 MiB heap buffer PER spill
+        # file; a heavily-spilled sort (thousands of files x 8 tasks)
+        # then OOMs in getSortedIterator before reading a single row.
+        # Direct reads are marginally slower but memory-bounded.
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
