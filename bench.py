@@ -120,6 +120,9 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
 
     mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "20480"))
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # the worker cap (master string) and the executor heap must agree —
+    # without this the executors run on the 1g default
+    os.environ["SPARK_GRAFT_EXECUTOR_MEM"] = f"{mem_mb}m"
     spark = get_spark(
         "spatialgraft-scaling",
         cpus=8 * n_executors,
@@ -176,9 +179,15 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     # would be collected+built+shipped by the driver (serial seconds);
     # the cached points are already hash-partitioned by (cell, salt),
     # so a shuffled join moves only the small ring side — parallel.
-    thunks = [lambda: pip_join_count(points(), polys).count(),
-              lambda: knn_join(points(), qs, k=10,
-                               broadcast_queries=False).count()]
+    # SPARK_GRAFT_SCALE_OPS selects operators (default both) so the
+    # gate can also be decomposed per operator.
+    ops = os.environ.get("SPARK_GRAFT_SCALE_OPS", "pip,knn").split(",")
+    all_thunks = {
+        "pip": lambda: pip_join_count(points(), polys).count(),
+        "knn": lambda: knn_join(points(), qs, k=10,
+                                broadcast_queries=False).count(),
+    }
+    thunks = [all_thunks[o] for o in ops]
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
         rows = list(ex.map(lambda f: f(), thunks))
@@ -191,7 +200,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             "exec_mem_mb": mem_mb,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(len(thunks) * n_docs / wall, 1),
-            "n_docs": int(n_docs), "rows": rows}
+            "n_docs": int(n_docs), "ops": ops, "rows": rows}
 
 
 def run_scaling(sf_dir: str, n_exec: int = 1, replicate: int = 24) -> dict:

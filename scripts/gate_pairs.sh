@@ -21,7 +21,7 @@ t8=run(8); t32=run(32)
 print(f"{(128/t32)/(32/t8)/4:.3f}")
 PY
 )
-  n1=$(SPARK_GRAFT_EXECUTORS=1 SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=24576 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 590 python bench.py --scaling-one 2>/dev/null | tail -1)
-  n4=$(SPARK_GRAFT_EXECUTORS=4 SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=24576 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 590 python bench.py --scaling-one 2>/dev/null | tail -1)
+  n1=$(SPARK_GRAFT_EXECUTORS=1 SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=24576 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 900 python bench.py --scaling-one 2>/dev/null | tail -1)
+  n4=$(SPARK_GRAFT_EXECUTORS=4 SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=24576 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout 900 python bench.py --scaling-one 2>/dev/null | tail -1)
   echo "{\"pair\": $i, \"cpu_calibration\": $cal, \"N\": $n1, \"4N\": $n4}" >> $OUT
 done

@@ -38,8 +38,14 @@ def multiget(points: DataFrame, keys: DataFrame) -> DataFrame:
         .select("doc_key", "mx", "my"))
 
 
-def nearest_k(points: DataFrame, qmx: int, qmy: int, k: int) -> DataFrame:
-    """Single-probe kNN: (doc_key, dist2, rnk) by (dist2, doc_key)."""
+def nearest_k(points: DataFrame, qmx: int, qmy: int, k: int,
+              pred: str | None = None) -> DataFrame:
+    """Single-probe kNN: (doc_key, dist2, rnk) by (dist2, doc_key).
+
+    `pred`: optional data-side predicate (the reference's knnFilter z,
+    SpatialRdd.scala:150) — kNN among qualifying points only."""
+    if pred is not None:
+        points = points.where(pred)
     qx = (qmx - 180000) / 1000.0
     qy = (qmy - 90000) / 1000.0
     d2 = ((F.col("x") - qx) * (F.col("x") - qx) +

@@ -29,13 +29,21 @@ _BROADCAST_DEFAULT = True
 
 def _joined(points: DataFrame, boxes: DataFrame,
             broadcast_queries: bool = _BROADCAST_DEFAULT,
-            presence: set[int] | None = None) -> DataFrame:
+            presence: set[int] | None = None,
+            pred: str | None = None) -> DataFrame:
     """points (with mx,my) x boxes (milli bbox) -> matched pairs.
 
     `presence`: optional sFilter cell-presence set — multicast rows whose
     cell holds no data are dropped before the shuffle
     (spatialgraft.sfilter; exact version of the reference's sFilter
-    pruning, SBQTree.scala:46-257)."""
+    pruning, SBQTree.scala:46-257).
+    `pred`: optional extra data-side predicate — the reference's
+    `z: Entry[V] => Boolean` argument on rangeFilter/sjoin
+    (SpatialRdd.scala:117,264); applied before the join so it pushes
+    into the scan."""
+    if pred is not None:
+        points = points.where(F.expr(pred) if isinstance(pred, str)
+                              else pred)
     pts = with_cell(points)
     cover = cover_cells(boxes)
     if presence is not None:
@@ -60,7 +68,8 @@ def range_filter(points: DataFrame, xmin: int, ymin: int,
 
 def range_join(points: DataFrame, boxes: DataFrame,
                broadcast_queries: bool = _BROADCAST_DEFAULT,
-               presence: set[int] | None = None) -> DataFrame:
+               presence: set[int] | None = None,
+               pred: str | None = None) -> DataFrame:
     """sjoin (J1): (box_id, doc_key) matched pairs.
 
     Pairs are unique by construction — a point belongs to exactly one
@@ -68,18 +77,19 @@ def range_join(points: DataFrame, boxes: DataFrame,
     is needed (the reference dedupes because its multicast can route one
     box to a partition several times, SpatialRdd.scala:264-284; our cell
     cover cannot)."""
-    j = _joined(points, boxes, broadcast_queries, presence)
+    j = _joined(points, boxes, broadcast_queries, presence, pred)
     return j.select("box_id", "doc_key")
 
 
 def range_join_count(points: DataFrame, boxes: DataFrame,
                      broadcast_queries: bool = _BROADCAST_DEFAULT,
-                     presence: set[int] | None = None) -> DataFrame:
+                     presence: set[int] | None = None,
+                     pred: str | None = None) -> DataFrame:
     """rjoin (J2) with count aggregate — the SpatialJoinApp query
     (reference examples/SpatialJoinApp.scala:81-96)."""
     # Within one box's cover, cells never overlap, so each (box, point)
     # pair appears exactly once: count needs no dedup.
-    j = _joined(points, boxes, broadcast_queries, presence)
+    j = _joined(points, boxes, broadcast_queries, presence, pred)
     return j.groupBy("box_id").agg(F.count("*").alias("cnt"))
 
 

@@ -27,8 +27,15 @@ def get_spark(app: str = "spatialgraft",
             os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
     if master is None:
         master = f"local[{cpus}]"
+    builder = SparkSession.builder.master(master)
+    # local-cluster[n,c,mem] only caps what the WORKER may allocate; the
+    # executor JVM heap itself comes from spark.executor.memory (default
+    # 1g!) — set it explicitly or multi-executor runs get 1 GiB heaps.
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+    if exec_mem:
+        builder = builder.config("spark.executor.memory", exec_mem)
     return (
-        SparkSession.builder.master(master)
+        builder
         .config("spark.executorEnv.PYTHONPATH",
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         .appName(app)
