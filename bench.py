@@ -47,9 +47,22 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # workers + parquet footers, then once at the target sf (plan-size
     # dependent JIT) — all outside the measured region; at target scale
     # per-query JIT is noise, so steady-state is the honest number
+    warm_t: dict[str, float] = {}
     for warm_sf in ("/root/testdata/sf0.001", sf_dir):
         for name in headline:
+            t0 = time.perf_counter()
             qs[name](spark, warm_sf).count()
+            warm_t[name] = round(time.perf_counter() - t0, 3)
+
+    # preliminary single-pass line: if the caller's timeout kills the
+    # measured reps below, its last-line parse still gets a valid
+    # (warm-pass) record instead of nothing
+    print(json.dumps({
+        "metric": "spatial_suite_wall_sec", "unit": "sec",
+        "value": round(sum(warm_t.values()), 3), "queries": warm_t,
+        "reps": 1, "note": "warm pass (preliminary)",
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+    }), flush=True)
 
     runs: dict[str, list[float]] = {n: [] for n in headline}
     rows: dict[str, int] = {}
