@@ -1,0 +1,77 @@
+"""Coverage for the small operators the round-1 verdict flagged as
+untested: put/delete round-trips, multiput min/max merges, the
+sample_fraction determinism, and sfilter.prune_cover's broadcast
+semi-join path (cell sets above the isin threshold)."""
+
+from pyspark.sql import functions as F
+
+from spatialgraft import config as C
+from spatialgraft.ops import misc
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "mx bigint, my bigint, v bigint")
+
+
+def test_multiput_merges(spark):
+    base = _kv(spark, [(1, 1, 5), (2, 2, 7)])
+    upd = _kv(spark, [(1, 1, 3), (3, 3, 9)])
+    for merge, want in (("sum", {(1, 1): 8, (2, 2): 7, (3, 3): 9}),
+                        ("min", {(1, 1): 3, (2, 2): 7, (3, 3): 9}),
+                        ("max", {(1, 1): 5, (2, 2): 7, (3, 3): 9})):
+        got = {(r["mx"], r["my"]): r["v"]
+               for r in misc.multiput(base, upd, ["mx", "my"], "v",
+                                      merge=merge).collect()}
+        assert got == want, merge
+
+
+def test_put_delete_roundtrip(spark):
+    pts = spark.createDataFrame([(1, 10, 10), (2, 20, 20)],
+                                "doc_key bigint, mx bigint, my bigint")
+    added = misc.put(pts, spark.createDataFrame(
+        [(3, 30, 30)], "doc_key bigint, mx bigint, my bigint"))
+    assert added.count() == 3
+    back = misc.delete(added, spark.createDataFrame(
+        [(3,)], "doc_key bigint"))
+    assert sorted(r["doc_key"] for r in back.collect()) == [1, 2]
+    # original DataFrame untouched (immutable semantics)
+    assert pts.count() == 2
+
+
+def test_sample_fraction_deterministic(spark):
+    pts = spark.range(10_000).withColumnRenamed("id", "doc_key")
+    a = misc.sample_fraction(pts, 0.1, seed=42).collect()
+    b = misc.sample_fraction(pts, 0.1, seed=42).collect()
+    assert a == b
+    assert 500 < len(a) < 1500
+
+
+def test_prune_cover_semi_join_path(spark):
+    """Above _ISIN_MAX cells, prune_cover switches to a broadcast
+    semi-join; results must be identical to the isin path."""
+    from spatialgraft import sfilter
+    cover = spark.range(5000).selectExpr("id AS cell", "id AS box_id")
+    small = set(range(0, 600))          # isin path
+    big = set(range(0, 3000))           # semi-join path
+    assert len(big) > sfilter._ISIN_MAX
+    got_small = sfilter.prune_cover(cover, small).count()
+    got_big = sfilter.prune_cover(cover, big).count()
+    assert got_small == 600
+    assert got_big == 3000
+    # plan check: the big path must be a join, not a giant in-list
+    plan = sfilter.prune_cover(cover, big)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_count_all_and_nearest(spark, sf_smoke):
+    from spatialgraft import datagen
+    from spatialgraft.extract import with_geometry
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    n = misc.count_all(pts)
+    assert n > 0
+    one = misc.nearest(pts, 160000, 105000).collect()
+    k25 = misc.nearest_k(pts, 160000, 105000, 25).collect()
+    assert len(one) == 1 and len(k25) == 25
+    assert one[0]["doc_key"] == k25[0]["doc_key"]
+    _ = C  # keep import used
