@@ -132,17 +132,24 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     from spatialgraft.session import get_spark
 
     mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "20480"))
+    # cores per executor: 8 mirrors a typical cluster node, but on this
+    # co-tenant box the hypervisor throttles total CPU invisibly (guest
+    # load stays ~0 while a busy-loop calibration measures 0.68-0.81
+    # scaling from 8->32 processes) — a 2-core-executor pair (1x2 vs
+    # 4x2 = 8 cores peak) stays under any plausible host cap at BOTH
+    # levels, so the ratio measures the engine, not the hypervisor.
+    cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     # the worker cap (master string) and the executor heap must agree —
     # without this the executors run on the 1g default
     os.environ["SPARK_GRAFT_EXECUTOR_MEM"] = f"{mem_mb}m"
     spark = get_spark(
         "spatialgraft-scaling",
-        cpus=8 * n_executors,
+        cpus=cores * n_executors,
         shuffle_partitions=64,
-        master=f"local-cluster[{n_executors},8,{mem_mb}]")
+        master=f"local-cluster[{n_executors},{cores},{mem_mb}]")
     # wait for all executors to register before doing anything
-    want = 8 * n_executors
+    want = cores * n_executors
     for _ in range(60):
         if spark.sparkContext.defaultParallelism >= want:
             break
@@ -209,7 +216,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     # extraction pass just to count
     n_docs = base.count() * max(1, replicate)
     spark.stop()
-    return {"executors": n_executors, "cores": 8 * n_executors,
+    return {"executors": n_executors, "cores": cores * n_executors,
             "exec_mem_mb": mem_mb,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(len(thunks) * n_docs / wall, 1),
