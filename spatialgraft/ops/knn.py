@@ -244,17 +244,26 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # stage-1 candidate volume against stage-2 bound-radius survivors —
     # both then grow as sqrt(k*c) instead of c (a fixed rate still let
     # hot cells dominate at 100x density).
+    # Short-circuit (decided from the driver-side histogram, free): when
+    # NO cell crosses the threshold stage 1 already sees the full data,
+    # so the histogram join + hash filter would keep every row — skip
+    # them, and the ring_sum sampling guard on `done` drops too.
     dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
-    m_expr = F.when(
-        F.col("cellcnt") < dense_thresh, F.lit(1).cast("long")).otherwise(
-        F.ceil(F.sqrt(F.col("cellcnt").cast("double") / (3.0 * k)))
-        .cast("long"))
-    pts1 = (pts.join(F.broadcast(cell_counts), on="cell", how="left")
-            .fillna({"cellcnt": 0})
-            .withColumn("_m", m_expr)
-            .where(F.pmod(F.xxhash64(F.col("doc_key") * 2 + 1),
-                          F.col("_m")) == 0)
-            .drop("cellcnt", "_m"))
+    any_dense = any(c >= dense_thresh for c in counts.values())
+    if any_dense:
+        m_expr = F.when(
+            F.col("cellcnt") < dense_thresh,
+            F.lit(1).cast("long")).otherwise(
+            F.ceil(F.sqrt(F.col("cellcnt").cast("double") / (3.0 * k)))
+            .cast("long"))
+        pts1 = (pts.join(F.broadcast(cell_counts), on="cell", how="left")
+                .fillna({"cellcnt": 0})
+                .withColumn("_m", m_expr)
+                .where(F.pmod(F.xxhash64(F.col("doc_key") * 2 + 1),
+                              F.col("_m")) == 0)
+                .drop("cellcnt", "_m"))
+    else:
+        pts1 = pts
 
     # stage 1: ring candidates, local top-k, kth bound
     cand1 = (pts1.join(ring.select("cell", "salt", "qid", "qx", "qy"),
@@ -289,7 +298,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
               .withColumn("rm", (F.ceil(F.sqrt("kth2") * 1000.0) + 1)
                           .cast("bigint"))
               .withColumn("done",
-                          (F.col("ring_sum") < dense_thresh) &
+                          ((F.col("ring_sum") < dense_thresh)
+                           if any_dense else F.lit(True)) &
                           (F.col("qmx") - F.col("rm") >= F.col("ring_x0")) &
                           (F.col("qmx") + F.col("rm") <= F.col("ring_x1")) &
                           (F.col("qmy") - F.col("rm") >= F.col("ring_y0")) &

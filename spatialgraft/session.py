@@ -48,6 +48,16 @@ def get_spark(app: str = "spatialgraft",
         # then OOMs in getSortedIterator before reading a single row.
         # Direct reads are marginally slower but memory-bounded.
         .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+        # shuffle/spill files default to /tmp, which here is a slow
+        # virtio disk: concurrent writers (a 4-executor level) exceed
+        # the dirty-page writeback throttle and stall — measured as
+        # 4N levels running SLOWER than N on identical input while
+        # task CPU sat at ~40%.  /dev/shm is a 126 GiB tmpfs; shuffle
+        # there is RAM-speed at every executor count (a real cluster's
+        # per-node NVMe equivalent).  Override: SPARK_GRAFT_LOCAL_DIR.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-local"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

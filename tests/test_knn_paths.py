@@ -61,6 +61,20 @@ def test_salted_knn_identical_and_nonvacuous(spark, sf_correct):
                  knn_join(pts, qs, k=10))
 
 
+def test_sampling_short_circuit_identical(spark, sf_smoke, monkeypatch):
+    # the same input answered through both stage-1 regimes — sampling
+    # forced on (threshold 0 via KNN_SAMPLE_MOD=1 -> every cell with
+    # >= 3k points samples) vs the driver-side short-circuit when no
+    # cell crosses the threshold — must be bit-identical
+    from spatialgraft import config as C
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke).limit(50)
+    fast = knn_join(pts, qs, k=3)
+    monkeypatch.setattr(C, "KNN_SAMPLE_MOD", 1)
+    sampled = knn_join(pts, qs, k=3)
+    _assert_same(sampled, fast)
+
+
 def test_knn_pred_matches_filtered_brute_force(spark, sf_smoke):
     pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
     qs = datagen.knn_queries(spark, sf_smoke)
