@@ -64,8 +64,19 @@ def _q_spatio_textual(spark, sf_dir):
 
 def _q_knn_join(spark, sf_dir):
     from spatialgraft.ops import knn as kops
+    # driver/bench path: materialize eagerly so intermediates unpersist
     return kops.knn_join(_points(spark, sf_dir),
-                         datagen.knn_queries(spark, sf_dir), k=C.DEFAULT_K)
+                         datagen.knn_queries(spark, sf_dir), k=C.DEFAULT_K,
+                         materialize=True)
+
+
+def _q_knn_k150(spark, sf_dir):
+    """Reference-scale k: LocationSpark's own benchmarks sweep k up to
+    200 (reference README.md:51, testNestLoopKnnJoin.scala:89-103)."""
+    from spatialgraft.ops import knn as kops
+    return kops.knn_join(_points(spark, sf_dir),
+                         datagen.knn_queries(spark, sf_dir), k=150,
+                         materialize=True)
 
 
 def _q_pip_join_count(spark, sf_dir):
@@ -206,7 +217,8 @@ def _q_spatio_textual_knn(spark, sf_dir):
     from spatialgraft.ops import knn as kops
     return kops.knn_join(_points(spark, sf_dir),
                          datagen.knn_queries(spark, sf_dir), k=5,
-                         pred="lower(text) LIKE '%flag r%'")
+                         pred="lower(text) LIKE '%flag r%'",
+                         materialize=True)
 
 
 def _q_range_join_count_salted(spark, sf_dir):
@@ -253,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_filter": _q_range_filter,
         "spatio_textual_filter": _q_spatio_textual,
         "knn_join": _q_knn_join,
+        "knn_k150": _q_knn_k150,
         "pip_join_count": _q_pip_join_count,
         "tiles_points": _q_tiles_points,
         "tiles_boxes": _q_tiles_boxes,
@@ -291,4 +304,5 @@ def oracle_sql() -> dict[str, str]:
                                       pipeline_oracles)
     return {**all_oracles(k=C.DEFAULT_K), **pipeline_oracles(),
             **misc_oracles(), **extension_oracles(k_st=5),
+            "knn_k150": all_oracles(k=150)["knn_join"],
             "cosine_dedup": cosine_dedup_oracle(0.35)}

@@ -60,7 +60,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     print(json.dumps({
         "metric": "spatial_suite_wall_sec", "unit": "sec",
         "value": round(sum(warm_t.values()), 3), "queries": warm_t,
-        "reps": 1, "note": "warm pass (preliminary)",
+        "reps": 1, "preliminary": True,
+        "note": "warm pass (preliminary) — NOT the record; the "
+                "median-of-reps line below supersedes this",
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
     }), flush=True)
 
@@ -186,7 +188,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     # input so the measured region contains only real work.
     base = with_geometry(datagen.documents_spans(spark, sf_dir))
     pip_join_count(base, polys).count()
-    knn_join(base, qs, k=10).count()
+    knn_join(base, qs, k=10, materialize=True).count()
 
     # The three queries run CONCURRENTLY (one thread each — Spark's
     # scheduler interleaves their jobs), the standard throughput-run
@@ -205,7 +207,8 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     all_thunks = {
         "pip": lambda: pip_join_count(points(), polys).count(),
         "knn": lambda: knn_join(points(), qs, k=10,
-                                broadcast_queries=False).count(),
+                                broadcast_queries=False,
+                                materialize=True).count(),
     }
     thunks = [all_thunks[o] for o in ops]
     t0 = time.perf_counter()
@@ -220,7 +223,13 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             "exec_mem_mb": mem_mb,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(len(thunks) * n_docs / wall, 1),
-            "n_docs": int(n_docs), "ops": ops, "rows": rows}
+            "n_docs": int(n_docs), "ops": ops, "qrep": qrep,
+            # executor shuffle dirs: local-cluster executors take
+            # SPARK_LOCAL_DIRS (session.get_spark sets it to the tmpfs
+            # dir), NOT spark.local.dir — record which was in effect
+            "executor_local_dirs": os.environ.get(
+                "SPARK_LOCAL_DIRS", "/tmp (spark default)"),
+            "rows": rows}
 
 
 def run_scaling(sf_dir: str, n_exec: int = 1, replicate: int = 24) -> dict:

@@ -4,26 +4,42 @@
 #
 # Co-tenant steal on this box is invisible to guest load yet throttles
 # wide runs (a busy-loop calibration from 8->32 procs swings 0.68-0.97
-# by the minute).  Two defenses:
+# by the minute).  Defenses:
 #   - each pair WAITS for a clean window (quick 32-proc probe >= MINCAL,
 #     re-checked every 60 s up to WAITMAX s);
-#   - the 4N level runs FIRST: clean it finishes in ~2 min, so it fits
-#     inside the probed window, while the 8-core N level tolerates
-#     bursts (co-tenants rarely consume 24 idle cores for 6 straight
-#     minutes).
+#   - ORDER controls which level runs first.  4nfirst puts the short
+#     wide level inside the probed window; nfirst brackets the
+#     protocol-bias question (ADVICE r2: record both orders so the gate
+#     numbers bracket the choice); alt alternates per pair.
+# Executor shuffle dirs: session.get_spark exports SPARK_LOCAL_DIRS to
+# the tmpfs dir for local-cluster masters — round-2 pairs unknowingly
+# ran executor shuffle on the slow /tmp virtio disk (the conf-only
+# spark.local.dir is ignored by local-cluster executors), measured this
+# round as a 1.5x wall hit at the 4N level.
 # CORES picks cores-per-executor (default 8; CORES=2 measured INVERTED
 # scaling — tiny executors are shuffle-overhead-bound — see
 # bench_records/gate_pair_2core_x144.jsonl).
+# EVLOG=1 writes Spark event logs to /tmp/evlog for per-stage
+# decomposition (scripts/evparse.py).
 OUT=${OUT:-/tmp/gate.jsonl}
-REP=${REP:-288}
+REP=${REP:-1152}
 CORES=${CORES:-8}
 MEM=${MEM:-24576}
-TMO=${TMO:-1200}
+TMO=${TMO:-2700}
 MINCAL=${MINCAL:-0.93}
 WAITMAX=${WAITMAX:-1800}
-export SPARK_GRAFT_QUERY_REP=${QREP:-8}
+ORDER=${ORDER:-4nfirst}
+SCALE_OPS=${SCALE_OPS:-pip,knn}
+export SPARK_GRAFT_QUERY_REP=${QREP:-4}
 PAIRS=${PAIRS:-4}
 cd /root/repo
+
+if [ "${EVLOG:-0}" = "1" ]; then
+  mkdir -p /tmp/sparkconf /tmp/evlog
+  printf 'spark.eventLog.enabled true\nspark.eventLog.dir file:///tmp/evlog\n' \
+    > /tmp/sparkconf/spark-defaults.conf
+  export SPARK_CONF_DIR=/tmp/sparkconf
+fi
 
 probe() {
   CAL_LO=$CORES CAL_HI=$((CORES*4)) python - <<'PY'
@@ -42,14 +58,30 @@ print(f"{(hi*4/th)/(lo*4/tl)/4:.3f}")
 PY
 }
 
+level() {  # $1 = executor count
+  SPARK_GRAFT_EXECUTORS=$1 SPARK_GRAFT_EXEC_CORES=$CORES \
+  SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=$MEM \
+  SPARK_GRAFT_SCALE_OPS=$SCALE_OPS \
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  timeout $TMO python bench.py --scaling-one 2>/tmp/gate_$1.err | tail -1
+}
+
 for i in $(seq 1 $PAIRS); do
   waited=0
   cal=$(probe)
   while python -c "import sys; sys.exit(0 if float('$cal') < $MINCAL else 1)" && [ $waited -lt $WAITMAX ]; do
     sleep 60; waited=$((waited+60)); cal=$(probe)
   done
-  n4=$(SPARK_GRAFT_EXECUTORS=4 SPARK_GRAFT_EXEC_CORES=$CORES SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=$MEM SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout $TMO python bench.py --scaling-one 2>/tmp/gate_n4.err | tail -1)
-  caln=$(probe)
-  n1=$(SPARK_GRAFT_EXECUTORS=1 SPARK_GRAFT_EXEC_CORES=$CORES SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=$MEM SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 timeout $TMO python bench.py --scaling-one 2>/tmp/gate_n1.err | tail -1)
-  echo "{\"pair\": $i, \"cores_per_exec\": $CORES, \"cpu_calibration_pre4N\": $cal, \"cpu_calibration_preN\": $caln, \"waited_for_window_s\": $waited, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
+  this_order=$ORDER
+  if [ "$ORDER" = "alt" ]; then
+    if [ $((i % 2)) -eq 1 ]; then this_order=4nfirst; else this_order=nfirst; fi
+  fi
+  if [ "$this_order" = "4nfirst" ]; then
+    first=$(level 4); calmid=$(probe); second=$(level 1)
+    n4=$first; n1=$second
+  else
+    first=$(level 1); calmid=$(probe); second=$(level 4)
+    n1=$first; n4=$second
+  fi
+  echo "{\"pair\": $i, \"order\": \"$this_order\", \"ops\": \"$SCALE_OPS\", \"rep\": $REP, \"qrep\": $SPARK_GRAFT_QUERY_REP, \"cores_per_exec\": $CORES, \"cpu_calibration_prefirst\": $cal, \"cpu_calibration_mid\": $calmid, \"waited_for_window_s\": $waited, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
 done

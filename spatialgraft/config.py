@@ -86,6 +86,15 @@ FP2_P2, FP2_M2 = 37, 249280325320399333   # 58-bit prime
 # Token shingling for near-dup detection.
 SHINGLE_K = 3
 
+# Hot-shingle document-frequency cap for the n-gram Jaccard self-join:
+# shingles appearing in more than NGRAM_DF_CAP documents are stop-
+# shingles (boilerplate) and are dropped from the similarity space
+# BEFORE the inverted-index join — a shingle in f docs otherwise makes
+# f^2/2 join rows, so one viral 3-gram quadratically dominates at scale.
+# Jaccard is computed over the capped shingle space (both the common
+# counts and the per-doc sizes), mirrored exactly in the DuckDB oracle.
+NGRAM_DF_CAP = 1000
+
 # MinHash: H signature slots, B bands x R rows (H = B*R); slot i applies
 # (A[i]*h + B[i]) % FP_MOD to the shingle hash h.
 MINHASH_A = [1103515245, 1588635695, 1117695901, 1503765159,

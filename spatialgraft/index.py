@@ -30,14 +30,30 @@ def pcell_expr(mx: str = "mx", my: str = "my") -> F.Column:
                   f"+ (({my} * {PCOARSE_Y}) div {C.WORLD_MY})")
 
 
-def write_indexed(points: DataFrame, path: str) -> None:
+def write_indexed(points: DataFrame, path: str,
+                  n_tasks: int | None = None,
+                  max_records_per_file: int | None = 50_000_000) -> None:
     """Write the indexed layout: partitioned by coarse cell, sorted by
-    fine cell within partitions."""
-    (with_cell(points)
-     .withColumn("pcell", pcell_expr())
-     .repartition("pcell")
-     .sortWithinPartitions("cell")
-     .write.mode("overwrite").partitionBy("pcell").parquet(path))
+    fine cell within partitions.
+
+    Write parallelism scales with data, not with the 128 coarse cells:
+    repartitionByRange(n_tasks, pcell, cell) gives each task a
+    contiguous (pcell, cell) slice — so a hot coarse cell is split
+    across many writer tasks (no 128-task straggler/giant-file cap)
+    while each output file still covers a tight sorted cell run (row-
+    group pruning stays as sharp as the single-task-per-pcell layout).
+    maxRecordsPerFile bounds individual file size under skew."""
+    spark = points.sparkSession
+    if n_tasks is None:
+        n_tasks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = (with_cell(points)
+         .withColumn("pcell", pcell_expr())
+         .repartitionByRange(n_tasks, "pcell", "cell")
+         .sortWithinPartitions("pcell", "cell")
+         .write.mode("overwrite"))
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy("pcell").parquet(path)
 
 
 def read_indexed(spark: SparkSession, path: str) -> DataFrame:

@@ -157,20 +157,34 @@ def _ring_count_expr(sat: str, cxa: str, cxb: str, cya: str, cyb: str
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
-             broadcast_queries: bool = True,
+             broadcast_queries: bool | None = None,
              pred: Column | str | None = None,
              plan=None,
-             materialize: bool = True) -> DataFrame:
+             materialize: bool = False) -> DataFrame:
     """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
     points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
     (dist2, doc_key).
 
     pred: optional extra data-side predicate (knnFilter semantics, F6).
     plan: optional SpatialPartitioning -> salt hot cells in stage 1 (J9).
+    broadcast_queries: None = auto size-gate per join (ring fan-out 9,
+    stage-2 cover fan-out ~64) against the session broadcast threshold;
+    True/False force.
     materialize: persist the (query-set-sized) result eagerly and
-    unpersist all intermediates before returning — repeated invocations
-    in one session then never accumulate cached blocks."""
+    unpersist all intermediates before returning.  Default False so
+    library callers (and plan inspection) stay lazy — but the LAZY path
+    leaves pts/cand1/stats persisted until the session drops them, and
+    the cell-histogram collect still runs at call time (the SAT needs
+    it).  Bench/driver paths pass True: eager one-pass + clean cache."""
     spark = points.sparkSession
+    if broadcast_queries is None:
+        from ..broadcast import ROW_BYTES, threshold_bytes
+        thr = threshold_bytes(spark)
+        nq = queries.count() if thr > 0 else 0
+        bc_ring = thr > 0 and nq * 9 * ROW_BYTES <= thr
+        bc_cover = thr > 0 and nq * 64 * ROW_BYTES <= thr
+    else:
+        bc_ring = bc_cover = broadcast_queries
     if pred is not None:
         points = points.where(pred if isinstance(pred, Column)
                               else F.expr(pred))
@@ -220,7 +234,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
                 .drop("nsplits"))
     else:
         ring = ring.withColumn("salt", F.lit(0).cast("long"))
-    if broadcast_queries:
+    if bc_ring:
         ring = F.broadcast(ring)
 
     w = Window.partitionBy("qid").orderBy("dist2", "doc_key")
@@ -368,7 +382,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
           .select("qid", "qx", "qy", "kth2",
                   "xmin", "xmax", "ymin", "ymax"))
     cover = cover_cells(bq)
-    if broadcast_queries:
+    if bc_cover:
         cover = F.broadcast(cover)
     boundary = (pts.join(cover, on="cell", how="inner")
                 .withColumn("dist2", F.expr(_D2))

@@ -103,17 +103,57 @@ _MERGES = {"sum": F.sum, "min": F.min, "max": F.max}
 
 def multiput(table: DataFrame, updates: DataFrame,
              key_cols: list[str], value_col: str,
-             merge: str = "sum") -> DataFrame:
+             merge="sum", order_col: str | None = None) -> DataFrame:
     """Merge-on-key multiput: inserting an existing key combines the old
-    and new values with `merge` (the reference's user merge function z/f
-    on collision, SpatialRdd.scala:70-89 — README's SumFunction).  A new
-    DataFrame is returned (immutable index semantics); a missing key is
-    a plain insert.  Shape at scale: one union + one partial/final agg
-    shuffle on the key."""
-    agg = _MERGES[merge]
+    and new values with `merge` (the reference's arbitrary user merge
+    closure (V, V) => V on collision, SpatialRdd.scala:70-89 — README's
+    SumFunction).  A new DataFrame is returned (immutable index
+    semantics); a missing key is a plain insert.
+
+    merge accepts, in increasing generality:
+      - a named commutative aggregate: "sum" | "min" | "max";
+      - a callable Column -> Column aggregate (any Spark aggregate);
+      - a binary-fold SQL expression over `acc` and `v` (e.g.
+        "acc * 2 + v", "concat(acc, v)") — the reference's arbitrary
+        (V, V) => V.  Non-commutative folds need a deterministic order:
+        the table value always folds FIRST, then updates ordered by
+        `order_col` (required when `updates` may repeat a key).
+
+    Shape at scale: the named/callable paths are one union + one
+    partial/final agg shuffle on the key.  The fold path is one union +
+    one collect_list agg on the key — fan-in per key is the update
+    multiplicity for that key (bounded by the caller's batch), never
+    table size."""
     cols = [*key_cols, value_col]
-    u = table.select(*cols).unionByName(updates.select(*cols))
-    return u.groupBy(*key_cols).agg(agg(value_col).alias(value_col))
+    if callable(merge):
+        u = table.select(*cols).unionByName(updates.select(*cols))
+        return u.groupBy(*key_cols).agg(
+            merge(F.col(value_col)).alias(value_col))
+    if merge in _MERGES:
+        u = table.select(*cols).unionByName(updates.select(*cols))
+        return u.groupBy(*key_cols).agg(
+            _MERGES[merge](value_col).alias(value_col))
+    # binary fold: old value first, then updates in order_col order
+    ord_expr = (F.col(order_col) if order_col is not None
+                else F.lit(0)).cast("long")
+    u = (table.select(*cols)
+         .withColumn("_src", F.lit(0).cast("long"))
+         .withColumn("_ord", F.lit(0).cast("long"))
+         .unionByName(updates
+                      .select(*cols, ord_expr.alias("_ord"))
+                      .withColumn("_src", F.lit(1).cast("long"))))
+    import re
+    fold = re.sub(r"\bv\b", "x._v", merge)
+    vs = (u.groupBy(*key_cols)
+          .agg(F.array_sort(F.collect_list(
+              F.struct(F.col("_src").alias("s"),
+                       F.col("_ord").alias("o"),
+                       F.col(value_col).alias("_v")))).alias("_vs")))
+    # _vs[0] (0-based) seeds the fold; slice (1-based) takes the rest
+    return vs.selectExpr(
+        *key_cols,
+        f"aggregate(slice(_vs, 2, size(_vs) - 1), _vs[0]._v, "
+        f"(acc, x) -> {fold}) AS {value_col}")
 
 
 def delete(points: DataFrame, keys: DataFrame) -> DataFrame:

@@ -16,19 +16,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..broadcast import decide as _decide_broadcast
 from ..cells import cover_cells, with_cell
 
 CONTAINS = ("mx >= xmin AND mx <= xmax AND "
             "my >= ymin AND my <= ymax")
 
-# Broadcast the multicast query side when it is plausibly small.  At
-# cluster scale the caller should pass broadcast_queries=False for huge
-# query sets; AQE still picks broadcast if runtime stats allow.
-_BROADCAST_DEFAULT = True
+# None = auto: size-gate the multicast side against the session
+# broadcast threshold (spatialgraft.broadcast.decide) — a huge query
+# set shuffles instead of building a driver-side broadcast, with no
+# flag knowledge required.  Explicit True/False still force.
+_BROADCAST_DEFAULT: bool | None = None
+
+# a query box covers <= ~64 cells at the join cell level (cells.py)
+BOX_COVER_FANOUT = 64
 
 
 def _joined(points: DataFrame, boxes: DataFrame,
-            broadcast_queries: bool = _BROADCAST_DEFAULT,
+            broadcast_queries: bool | None = _BROADCAST_DEFAULT,
             presence: set[int] | None = None,
             pred: str | None = None) -> DataFrame:
     """points (with mx,my) x boxes (milli bbox) -> matched pairs.
@@ -45,11 +50,12 @@ def _joined(points: DataFrame, boxes: DataFrame,
         points = points.where(F.expr(pred) if isinstance(pred, str)
                               else pred)
     pts = with_cell(points)
+    bc = _decide_broadcast(boxes, broadcast_queries, BOX_COVER_FANOUT)
     cover = cover_cells(boxes)
     if presence is not None:
         from ..sfilter import prune_cover
         cover = prune_cover(cover, presence)
-    if broadcast_queries:
+    if bc:
         cover = F.broadcast(cover)
     return pts.join(cover, on="cell", how="inner").where(F.expr(CONTAINS))
 
@@ -67,7 +73,7 @@ def range_filter(points: DataFrame, xmin: int, ymin: int,
 
 
 def range_join(points: DataFrame, boxes: DataFrame,
-               broadcast_queries: bool = _BROADCAST_DEFAULT,
+               broadcast_queries: bool | None = _BROADCAST_DEFAULT,
                presence: set[int] | None = None,
                pred: str | None = None) -> DataFrame:
     """sjoin (J1): (box_id, doc_key) matched pairs.
@@ -82,7 +88,7 @@ def range_join(points: DataFrame, boxes: DataFrame,
 
 
 def range_join_count(points: DataFrame, boxes: DataFrame,
-                     broadcast_queries: bool = _BROADCAST_DEFAULT,
+                     broadcast_queries: bool | None = _BROADCAST_DEFAULT,
                      presence: set[int] | None = None,
                      pred: str | None = None) -> DataFrame:
     """rjoin (J2) with count aggregate — the SpatialJoinApp query
@@ -106,7 +112,7 @@ INTERSECTS = ("d_xmin <= xmax AND xmin <= d_xmax AND "
 
 
 def intersects_join(dboxes: DataFrame, qboxes: DataFrame,
-                    broadcast_queries: bool = _BROADCAST_DEFAULT
+                    broadcast_queries: bool | None = _BROADCAST_DEFAULT
                     ) -> DataFrame:
     """F3: box-data x box-query intersects join -> (box_id, dbox_id).
 
@@ -124,8 +130,9 @@ def intersects_join(dboxes: DataFrame, qboxes: DataFrame,
         "dbox_id", "xmin AS d_xmin", "ymin AS d_ymin",
         "xmax AS d_xmax", "ymax AS d_ymax"),
         xmin="d_xmin", ymin="d_ymin", xmax="d_xmax", ymax="d_ymax")
+    bc = _decide_broadcast(qboxes, broadcast_queries, BOX_COVER_FANOUT)
     q = cover_cells(qboxes)
-    if broadcast_queries:
+    if bc:
         q = F.broadcast(q)
     refpt_cell = cell_expr("greatest(d_xmin, xmin)",
                            "greatest(d_ymin, ymin)")

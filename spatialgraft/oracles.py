@@ -193,11 +193,17 @@ def pipeline_oracles() -> dict[str, str]:
             f"{_fold2('text')} AS fp2 FROM documents) "
             "GROUP BY fp1, fp2"),
         "ngram_jaccard": (
+            # shc = the df-capped shingle space (stop-shingle filter) —
+            # the exact twin of dedup.ngram_jaccard_pairs(df_cap=...)
             f"WITH {_shingles_cte()}, "
-            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh "
+            "keep AS (SELECT h1, h2 FROM sh GROUP BY h1, h2 "
+            f"HAVING COUNT(*) <= {C.NGRAM_DF_CAP}), "
+            "shc AS (SELECT sh.doc_id, sh.h1, sh.h2 FROM sh "
+            "JOIN keep USING (h1, h2)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc "
             "GROUP BY doc_id), "
             "common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, "
-            "COUNT(*) AS c FROM sh a JOIN sh b ON a.h1 = b.h1 "
+            "COUNT(*) AS c FROM shc a JOIN shc b ON a.h1 = b.h1 "
             "AND a.h2 = b.h2 AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT id1, id2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) "
             "AS jaccard FROM common "

@@ -52,13 +52,29 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
             .distinct())
 
 
-def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.5,
+                        df_cap: int | None = C.NGRAM_DF_CAP) -> DataFrame:
     """(id1, id2, jaccard) for pairs with 3-gram Jaccard >= tau.
 
     Shingle-inverted-index self-join (shuffle on h) -> common counts ->
     |A|+|B|-common denominator.  jaccard emitted as an exact ratio of
-    BIGINTs cast to double."""
+    BIGINTs cast to double.
+
+    df_cap: stop-shingle filter — shingles whose document frequency
+    exceeds df_cap are removed from the similarity space before the
+    self-join (a shingle in f docs makes f^2/2 join rows; one viral
+    3-gram otherwise quadratically dominates the h-key join at 100 TB).
+    Jaccard is then over the capped shingle space: both `common` and the
+    per-doc `sizes` see the same filtered set, and the DuckDB oracle
+    applies the identical HAVING filter.  The frequency pass and the
+    filter join share the (h1, h2) hash partitioning with the main
+    self-join, so the cap costs one extra map-side-combined agg, not an
+    extra shuffle pattern.  None disables the cap."""
     sh = shingle_hashes(docs)
+    if df_cap is not None:
+        hot = sh.groupBy("h1", "h2").agg(F.count("*").alias("_df"))
+        sh = (sh.join(hot.where(F.col("_df") <= df_cap), on=["h1", "h2"])
+              .drop("_df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

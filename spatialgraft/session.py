@@ -13,6 +13,25 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Shuffle/spill files default to /tmp, a slow virtio disk here:
+# concurrent writers (a 4-executor level) exceed the dirty-page
+# writeback throttle and stall — measured as 4N levels running SLOWER
+# than N on identical input while task CPU sat at ~40%.  /dev/shm is a
+# RAM-backed tmpfs (a real cluster's per-node NVMe equivalent) — but
+# only use it when it exists AND has real headroom, else a big spill
+# hits ENOSPC/ RAM pressure instead of spilling to disk (ADVICE r2).
+_SHM_MIN_FREE_BYTES = 16 << 30
+
+
+def _default_local_dir() -> str:
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
 
 def get_spark(app: str = "spatialgraft",
               cpus: int | None = None,
@@ -27,6 +46,15 @@ def get_spark(app: str = "spatialgraft",
             os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8))))
     if master is None:
         master = f"local[{cpus}]"
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               _default_local_dir())
+    if master.startswith("local-cluster"):
+        # local-cluster EXECUTORS ignore spark.local.dir — the worker
+        # hands them SPARK_LOCAL_DIRS instead (executor blockmgr dirs
+        # otherwise land on /tmp even with the conf set; observed as
+        # huge fetch-wait + near-zero task CPU at the 4N level).  The
+        # env must exist BEFORE the JVM forks the workers.
+        os.environ.setdefault("SPARK_LOCAL_DIRS", local_dir)
     builder = SparkSession.builder.master(master)
     # local-cluster[n,c,mem] only caps what the WORKER may allocate; the
     # executor JVM heap itself comes from spark.executor.memory (default
@@ -48,16 +76,9 @@ def get_spark(app: str = "spatialgraft",
         # then OOMs in getSortedIterator before reading a single row.
         # Direct reads are marginally slower but memory-bounded.
         .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
-        # shuffle/spill files default to /tmp, which here is a slow
-        # virtio disk: concurrent writers (a 4-executor level) exceed
-        # the dirty-page writeback throttle and stall — measured as
-        # 4N levels running SLOWER than N on identical input while
-        # task CPU sat at ~40%.  /dev/shm is a 126 GiB tmpfs; shuffle
-        # there is RAM-speed at every executor count (a real cluster's
-        # per-node NVMe equivalent).  Override: SPARK_GRAFT_LOCAL_DIR.
-        .config("spark.local.dir",
-                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
-                               "/dev/shm/spark-local"))
+        # see _default_local_dir: tmpfs when it has headroom, else /tmp.
+        # Override: SPARK_GRAFT_LOCAL_DIR.
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

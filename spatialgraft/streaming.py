@@ -41,16 +41,30 @@ def tile_rollup_batch(events: DataFrame,
 def tile_rollup_stream(spark: SparkSession, events_path: str,
                        schema, window: str = "5 minutes",
                        watermark: str = "10 minutes",
-                       query_name: str = "tile_rollup"):
+                       query_name: str = "tile_rollup",
+                       max_files_per_trigger: int | None = None):
     """Streaming tile rollup over a parquet-backed stream.
 
     'update' output mode: the watermark actually finalizes windows and
     evicts their state (in 'complete' mode a watermark is inert and
     state grows forever — the scale bug this mode choice avoids).  The
     memory sink is the sandbox stand-in; a production deployment swaps
-    in Kafka/Iceberg.  Returns the StreamingQuery (caller stops it)."""
-    events = (spark.readStream.schema(schema)
-              .parquet(events_path))
+    in Kafka/Iceberg.  Returns the StreamingQuery (caller stops it).
+
+    Reading the memory sink: 'update' emits one row per (window, tile)
+    per trigger in which the group changed, so a multi-batch run leaves
+    intermediate counts alongside final ones — consumers must take the
+    LAST update per (window_start, tile) (counts only grow, so
+    max(cnt) per group; see test_streaming).  Rows later than the
+    watermark are dropped by design and will diverge from an
+    all-inclusive batch twin — that is the streaming contract, not a
+    bug.  max_files_per_trigger caps files per microbatch (testing the
+    multi-batch path; production tunes it for latency)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    events = reader.parquet(events_path)
     loc = _located(events).withColumn("tile", tile_expr())
     agg = (loc.withWatermark("ts", watermark)
            .groupBy(F.window("ts", window).alias("w"), "tile")

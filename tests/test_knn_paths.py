@@ -75,6 +75,20 @@ def test_sampling_short_circuit_identical(spark, sf_smoke, monkeypatch):
     _assert_same(sampled, fast)
 
 
+def test_k150_matches_brute_force(spark, sf_smoke, sf_correct):
+    """Reference-scale k (its benchmarks run k up to 200,
+    reference README.md:51): k=150 exercises deep SAT expansion at
+    sf0.001 (most rings underfill) and the dense pre-rank/sampling
+    machinery at sf0.01 — both must stay bit-exact."""
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    _assert_same(knn_join(pts, qs, k=150), _brute(pts, qs, k=150))
+
+    pts1 = with_geometry(datagen.documents_spans(spark, sf_correct))
+    qs1 = datagen.knn_queries(spark, sf_correct).limit(100)
+    _assert_same(knn_join(pts1, qs1, k=150), _brute(pts1, qs1, k=150))
+
+
 def test_knn_pred_matches_filtered_brute_force(spark, sf_smoke):
     pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
     qs = datagen.knn_queries(spark, sf_smoke)

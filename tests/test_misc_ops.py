@@ -25,6 +25,40 @@ def test_multiput_merges(spark):
         assert got == want, merge
 
 
+def test_multiput_arbitrary_merge_expression(spark):
+    """The reference accepts any (V, V) => V merge closure
+    (SpatialRdd.scala:70-89); the engine's equivalent is a binary-fold
+    SQL expression over acc/v — including NON-commutative folds, where
+    the table value folds first and updates follow order_col."""
+    # non-commutative numeric fold: acc*10 + v
+    base = _kv(spark, [(1, 1, 5), (2, 2, 7)])
+    upd = spark.createDataFrame(
+        [(1, 1, 3, 1), (1, 1, 4, 2), (3, 3, 9, 1)],
+        "mx bigint, my bigint, v bigint, seq bigint")
+    got = {(r["mx"], r["my"]): r["v"]
+           for r in misc.multiput(base, upd, ["mx", "my"], "v",
+                                  merge="acc * 10 + v",
+                                  order_col="seq").collect()}
+    # key (1,1): 5 -> 53 -> 534; insert-only keys keep their value
+    assert got == {(1, 1): 534, (2, 2): 7, (3, 3): 9}
+
+    # callable Column aggregate (any Spark aggregate fn)
+    got2 = {(r["mx"], r["my"]): r["v"]
+            for r in misc.multiput(base, upd.drop("seq"),
+                                   ["mx", "my"], "v",
+                                   merge=lambda c: F.max(c)).collect()}
+    assert got2 == {(1, 1): 5, (2, 2): 7, (3, 3): 9}
+
+    # non-commutative string fold: concat in update order
+    sbase = spark.createDataFrame([(1, "A")], "k bigint, s string")
+    supd = spark.createDataFrame([(1, "C", 2), (1, "B", 1)],
+                                 "k bigint, s string, seq bigint")
+    got3 = misc.multiput(sbase, supd, ["k"], "s",
+                         merge="concat(acc, v)",
+                         order_col="seq").collect()
+    assert got3[0]["s"] == "ABC"
+
+
 def test_put_delete_roundtrip(spark):
     pts = spark.createDataFrame([(1, 10, 10), (2, 20, 20)],
                                 "doc_key bigint, mx bigint, my bigint")

@@ -64,3 +64,32 @@ def test_checkpoint_partial_resume(spark, sf_smoke, tmp_path):
     r1b = cm.run_stage(spark, "points_extracted", lambda: None,
                        lineage_col="cell")
     assert r1b.resumed
+
+
+def test_checkpoint_lineage_bounded_high_cardinality(spark, tmp_path):
+    """A 10^6-distinct lineage column must not collect 10^6 rows to the
+    driver: the manifest keeps top-LINEAGE_CAP entries + a rollup whose
+    rows_total preserves the sum(lineage) == rows audit, and resume
+    semantics are unchanged (VERDICT r2 item 6)."""
+    from spatialgraft.checkpoint import LINEAGE_CAP
+    root = str(tmp_path / "ckpt_hc")
+    cm = CheckpointManager(root)
+    n = 1_000_000
+
+    def build():
+        # every row its own lineage value, plus one hot value
+        return spark.range(n + 5).selectExpr(
+            "CAST(CASE WHEN id < 5 THEN -1 ELSE id END AS STRING) "
+            "AS lin", "id AS v")
+
+    r = cm.run_stage(spark, "wide", build, lineage_col="lin")
+    m = r.manifest
+    assert len(m["partition_rows"]) == LINEAGE_CAP
+    assert m["lineage_rollup"] is not None
+    assert m["lineage_rollup"]["groups_total"] == n + 1
+    assert m["lineage_sum"] == m["rows"] == n + 5
+    # the hot value must be in the retained top-N
+    assert m["partition_rows"].get("-1") == 5
+    # resume path unchanged
+    r2 = cm.run_stage(spark, "wide", lambda: None, lineage_col="lin")
+    assert r2.resumed and r2.manifest["rows"] == n + 5
