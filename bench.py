@@ -41,7 +41,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     qs = entrymod.queries()
     headline = ["range_join_count", "range_join_pairs", "knn_join",
                 "pip_join_count", "tiles_points", "tiles_boxes"]
-    headline = [h for h in headline if h in qs]
+    # extra queries (comma list, e.g. knn_k150) measured alongside the
+    # fixed headline set without changing the headline metric
+    extra = [x for x in os.environ.get("SPARK_GRAFT_BENCH_EXTRA",
+                                       "").split(",") if x]
+    headline = [h for h in headline + extra if h in qs]
 
     # warm codegen/JIT for every operator shape (tiny sf) + python
     # workers + parquet footers, then once at the target sf (plan-size

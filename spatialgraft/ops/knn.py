@@ -60,6 +60,7 @@ shape as the DuckDB oracle -> bit-exact.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -210,7 +211,21 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # with NO exchange of the candidate stream — the only full-data
     # shuffle in the whole join is this one slim-projection shuffle.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pts = pts.repartition(n_parts, "cell", "salt").persist()
+    # SER storage: the slim projection is the one row-count-sized cache
+    # in the join.  Deserialized caching stores it as object graphs —
+    # measured as a GC death spiral when the cache approaches the
+    # storage pool (a 4x8-core/24 GiB level spent 6400 CPU core-s +
+    # 1400 GC core-s building a 263M-row cache that a 4 GiB heap
+    # builds in ~150 core-s by spilling early).  Serialized blocks are
+    # ~3x smaller, promote nothing long-lived, and overflow to local
+    # disk (tmpfs here, NVMe on a real cluster) at memory-bandwidth
+    # speed; the two re-reads (stage 1 + stage 2) pay one cheap
+    # columnar deserialize instead.
+    # (pyspark.StorageLevel.MEMORY_AND_DISK has deserialized=False —
+    # the serialized level; the DataFrame.persist() default is the
+    # object-graph MEMORY_AND_DISK_DESER)
+    pts = (pts.repartition(n_parts, "cell", "salt")
+           .persist(StorageLevel.MEMORY_AND_DISK))
 
     # exact cell histogram: one O(#cells) collect feeds both the
     # adaptive ring (broadcast re-upload) and the SAT ring expansion
