@@ -194,13 +194,17 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     pip_join_count(base, polys).count()
     knn_join(base, qs, k=10, materialize=True).count()
 
-    # The three queries run CONCURRENTLY (one thread each — Spark's
-    # scheduler interleaves their jobs), the standard throughput-run
-    # methodology: per-job driver scheduling latency overlaps with
-    # executor work instead of summing serially, which is exactly how a
-    # real multi-tenant cluster amortizes it.  Wall-clock covers all
-    # three completing.
-    from concurrent.futures import ThreadPoolExecutor
+    # The queries run SEQUENTIALLY by default (SPARK_GRAFT_SCALE_CONC=1
+    # restores the round-2 concurrent-threads protocol).  Measured this
+    # round: at the WIDE level two concurrent pipelines co-schedule on
+    # every executor and halve per-task execution memory in the big
+    # sort stages — the kNN stage-1 sort went 659 -> 2,549 CPU core-s
+    # with 160x the GC, and the concurrent 4N wall (311-491 s at x2304)
+    # exceeded the serial sum (211 + 46 s) even in dirtier windows.
+    # The N level never pays this (8 cores implicitly serialize the
+    # jobs), so concurrency deflated only the 4N side of the gate.
+    # Sequential per-op walls are also the faithful reading of the
+    # BASELINE metric ("kNN-join + PIP-join throughput").
     # broadcast_queries=False: at this input scale the replicated ring
     # would be collected+built+shipped by the driver (serial seconds);
     # the cached points are already hash-partitioned by (cell, salt),
@@ -215,9 +219,18 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
                                 materialize=True).count(),
     }
     thunks = [all_thunks[o] for o in ops]
+    op_walls = {}
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-        rows = list(ex.map(lambda f: f(), thunks))
+    if os.environ.get("SPARK_GRAFT_SCALE_CONC", "0") == "1":
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            rows = list(ex.map(lambda f: f(), thunks))
+    else:
+        rows = []
+        for o, f in zip(ops, thunks):
+            t1 = time.perf_counter()
+            rows.append(f())
+            op_walls[o] = round(time.perf_counter() - t1, 2)
     wall = time.perf_counter() - t0
     # replicate is exact row multiplication — no need for another full
     # extraction pass just to count
@@ -228,6 +241,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(len(thunks) * n_docs / wall, 1),
             "n_docs": int(n_docs), "ops": ops, "qrep": qrep,
+            "op_walls": op_walls or None,
             # executor shuffle dirs: local-cluster executors take
             # SPARK_LOCAL_DIRS (session.get_spark sets it to the tmpfs
             # dir), NOT spark.local.dir — record which was in effect
