@@ -67,7 +67,13 @@ from pyspark.sql import functions as F
 from .. import config as C
 from ..cells import cover_cells, with_cell
 
-_D2 = ("(qx - x) * (qx - x) + (qy - y) * (qy - y)")
+# x/y are recomputed inline from the int milli coords with the exact
+# expression shape of extract.py:65 (int subtract -> cast -> /1000.0),
+# so dist2 is bit-identical to the x/y-column formulation while the
+# candidate rows carry two INTs instead of two DOUBLEs
+_X = "(CAST(mx - 180000 AS DOUBLE) / 1000.0)"
+_Y = "(CAST(my - 90000 AS DOUBLE) / 1000.0)"
+_D2 = (f"(qx - {_X}) * (qx - {_X}) + (qy - {_Y}) * (qy - {_Y})")
 
 # ring-expansion candidate radii (cells): powers of two up to the full
 # grid — 9 rows per underfilled query, driver-independent
@@ -191,8 +197,18 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
                               else F.expr(pred))
 
     # slim projection cached: feeds the cell histogram, stage 1 and
-    # stage 2 (the spans column must not ride into the cache)
-    pts = with_cell(points).select("cell", "doc_key", "x", "y")
+    # stage 2 (the spans column must not ride into the cache).  It
+    # carries (cell, doc_key, mx:int, my:int) — 24 bytes/row instead of
+    # the 40+ of a (cell, doc_key, x:double, y:double, salt) row: the
+    # doubles are recomputed bit-exactly from the milli ints (_X/_Y)
+    # and the salt column exists only when a skew plan asks for it.
+    # At 10^12 rows this cache/shuffle is the join's one row-count-
+    # sized data stream — its width IS the memory-bus bill.
+    pts = with_cell(points).select(
+        "cell", "doc_key",
+        F.col("mx").cast("int").alias("mx"),
+        F.col("my").cast("int").alias("my"))
+    keys = ["cell"] if plan is None else ["cell", "salt"]
     if plan is not None:
         m = F.broadcast(plan.to_df(spark))
         pts = (pts.join(m.select("cell", "nsplits"), on="cell", how="left")
@@ -200,8 +216,6 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
                .withColumn("salt", F.pmod(F.xxhash64("doc_key"),
                                           F.col("nsplits").cast("long")))
                .drop("nsplits"))
-    else:
-        pts = pts.withColumn("salt", F.lit(0).cast("long"))
     # Repartition by (cell, salt) to the session shuffle width BEFORE
     # caching: (a) partition count then scales with configuration, not
     # core count — an input cached in defaultParallelism partitions made
@@ -224,7 +238,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # (pyspark.StorageLevel.MEMORY_AND_DISK has deserialized=False —
     # the serialized level; the DataFrame.persist() default is the
     # object-graph MEMORY_AND_DISK_DESER)
-    pts = (pts.repartition(n_parts, "cell", "salt")
+    pts = (pts.repartition(n_parts, *keys)
            .persist(StorageLevel.MEMORY_AND_DISK))
 
     # exact cell histogram: one O(#cells) collect feeds both the
@@ -247,17 +261,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
                     F.lit(0).cast("long"),
                     (F.col("nsplits") - 1).cast("long"))))
                 .drop("nsplits"))
-    else:
-        ring = ring.withColumn("salt", F.lit(0).cast("long"))
     if bc_ring:
         ring = F.broadcast(ring)
 
     w = Window.partitionBy("qid").orderBy("dist2", "doc_key")
-    # pre-rank: per (cell, salt, qid) top-k before the global window, so
-    # the qid shuffle carries <= 9k rows per query regardless of cell
-    # density (a salted slice's top-k superset keeps every candidate a
-    # cell-level top-k could contain)
-    wpre = Window.partitionBy("cell", "salt", "qid").orderBy(
+    # pre-rank: per (cell[, salt], qid) top-k before the global window,
+    # so the qid shuffle carries <= 9k rows per query regardless of
+    # cell density (a salted slice's top-k superset keeps every
+    # candidate a cell-level top-k could contain)
+    wpre = Window.partitionBy(*keys, "qid").orderBy(
         "dist2", "doc_key")
 
     # stage 1 samples very dense cells at 1/KNN_SAMPLE_MOD: the sampled
@@ -294,10 +306,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     else:
         pts1 = pts
 
-    # stage 1: ring candidates, local top-k, kth bound
-    cand1 = (pts1.join(ring.select("cell", "salt", "qid", "qx", "qy"),
-                       on=["cell", "salt"], how="inner")
+    # stage 1: ring candidates, local top-k, kth bound.  The projection
+    # down to (keys, qid, doc_key, dist2) BEFORE the pre-rank matters:
+    # those are the rows the per-group top-k heap/sort streams, and
+    # qx/qy/mx/my riding along would double the sort's memory traffic
+    # (the measured 4N bottleneck is the memory bus, not ALU).
+    cand1 = (pts1.join(ring.select(*keys, "qid", "qx", "qy"),
+                       on=keys, how="inner")
              .withColumn("dist2", F.expr(_D2))
+             .select(*keys, "qid", "doc_key", "dist2")
              .withColumn("prnk", F.row_number().over(wpre))
              .where(F.col("prnk") <= k)
              .drop("prnk")
@@ -402,9 +419,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     boundary = (pts.join(cover, on="cell", how="inner")
                 .withColumn("dist2", F.expr(_D2))
                 .where(F.col("dist2") <= F.col("kth2"))
-                .withColumn("prnk", F.row_number().over(
-                    Window.partitionBy("cell", "salt", "qid")
-                    .orderBy("dist2", "doc_key")))
+                .select(*keys, "qid", "doc_key", "dist2")
+                .withColumn("prnk", F.row_number().over(wpre))
                 .where(F.col("prnk") <= k)
                 .drop("prnk")
                 .withColumn("rnk", F.row_number().over(w))
