@@ -212,11 +212,18 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     # SPARK_GRAFT_SCALE_OPS selects operators (default both) so the
     # gate can also be decomposed per operator.
     ops = os.environ.get("SPARK_GRAFT_SCALE_OPS", "pip,knn").split(",")
+    from spatialgraft.ops.range import range_join_count
+    boxes = rep_ids(datagen.query_boxes(spark, sf_dir), "box_id")
     all_thunks = {
         "pip": lambda: pip_join_count(points(), polys).count(),
         "knn": lambda: knn_join(points(), qs, k=10,
                                 broadcast_queries=False,
                                 materialize=True).count(),
+        # range is memory-bandwidth-bound (35-billion-pair probe
+        # stream); kept out of the default gate workload (see
+        # docstring) but selectable for the full-3-op bracket record
+        "range": lambda: range_join_count(
+            points(), boxes, broadcast_queries=False).count(),
     }
     thunks = [all_thunks[o] for o in ops]
     op_walls = {}
