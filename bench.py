@@ -39,13 +39,17 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("spatialgraft-bench", cpus=cpus)
     qs = entrymod.queries()
-    headline = ["range_join_count", "range_join_pairs", "knn_join",
-                "pip_join_count", "tiles_points", "tiles_boxes"]
-    # extra queries (comma list, e.g. knn_k150) measured alongside the
-    # fixed headline set without changing the headline metric
+    headline = [h for h in ["range_join_count", "range_join_pairs",
+                            "knn_join", "pip_join_count", "tiles_points",
+                            "tiles_boxes"] if h in qs]
+    # extra queries (comma list, e.g. knn_k150): measured in the same
+    # warm+rep loop but reported ONLY under "extra_queries" — the
+    # headline value/docs_per_sec sum the fixed six alone, so records
+    # stay comparable across rounds whether or not extras ran
     extra = [x for x in os.environ.get("SPARK_GRAFT_BENCH_EXTRA",
-                                       "").split(",") if x]
-    headline = [h for h in headline + extra if h in qs]
+                                       "").split(",")
+             if x and x in qs and x not in headline]
+    measured = headline + extra
 
     # warm codegen/JIT for every operator shape (tiny sf) + python
     # workers + parquet footers, then once at the target sf (plan-size
@@ -53,7 +57,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # per-query JIT is noise, so steady-state is the honest number
     warm_t: dict[str, float] = {}
     for warm_sf in ("/root/testdata/sf0.001", sf_dir):
-        for name in headline:
+        for name in measured:
             t0 = time.perf_counter()
             qs[name](spark, warm_sf).count()
             warm_t[name] = round(time.perf_counter() - t0, 3)
@@ -63,24 +67,25 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # (warm-pass) record instead of nothing
     print(json.dumps({
         "metric": "spatial_suite_wall_sec", "unit": "sec",
-        "value": round(sum(warm_t.values()), 3), "queries": warm_t,
+        "value": round(sum(warm_t[n] for n in headline), 3),
+        "queries": {n: warm_t[n] for n in headline},
         "reps": 1, "preliminary": True,
         "note": "warm pass (preliminary) — NOT the record; the "
                 "median-of-reps line below supersedes this",
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
     }), flush=True)
 
-    runs: dict[str, list[float]] = {n: [] for n in headline}
+    runs: dict[str, list[float]] = {n: [] for n in measured}
     rows: dict[str, int] = {}
     for _ in range(reps):
-        for name in headline:
+        for name in measured:
             t0 = time.perf_counter()
             rows[name] = qs[name](spark, sf_dir).count()
             runs[name].append(round(time.perf_counter() - t0, 3))
 
     medians = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: [min(v), max(v)] for n, v in runs.items()}
-    total = round(sum(medians.values()), 3)
+    total = round(sum(medians[n] for n in headline), 3)
 
     n_docs = spark.sql(
         "SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber "
@@ -88,19 +93,24 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     spark.stop()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return {
+    out = {
         "metric": "spatial_suite_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": medians,
-        "spread": spread,
+        "queries": {n: medians[n] for n in headline},
+        "spread": {n: spread[n] for n in headline},
         "reps": reps,
         "sf": float(sf),
         "cpus": cpus,
         "n_docs": int(n_docs),
         "docs_per_sec": round(n_docs * len(headline) / total, 1),
-        "result_rows": rows,
+        "result_rows": {n: rows[n] for n in headline},
     }
+    if extra:
+        out["extra_queries"] = {n: medians[n] for n in extra}
+        out["extra_spread"] = {n: spread[n] for n in extra}
+        out["extra_result_rows"] = {n: rows[n] for n in extra}
+    return out
 
 
 def run_scaling_workload(sf_dir: str, n_executors: int,

@@ -133,7 +133,24 @@ def multiput(table: DataFrame, updates: DataFrame,
         u = table.select(*cols).unionByName(updates.select(*cols))
         return u.groupBy(*key_cols).agg(
             _MERGES[merge](value_col).alias(value_col))
-    # binary fold: old value first, then updates in order_col order
+    # binary fold: old value first, then updates in order_col order.
+    # Placeholder contract: `merge` must reference `acc` and `v` as bare
+    # identifiers and must not contain string literals (the `v` rewrite
+    # below is textual and would corrupt a quoted 'v'); a plain typo
+    # like "avg" would otherwise fall through here and die with an
+    # opaque lambda-analysis error instead of a clear one.
+    if not isinstance(merge, str):
+        raise TypeError(f"merge must be str or callable, got {merge!r}")
+    if "'" in merge or '"' in merge:
+        raise ValueError(
+            "fold merge expressions must not contain string literals "
+            f"(the v placeholder rewrite is textual): {merge!r}")
+    import re
+    if not (re.search(r"\bacc\b", merge) and re.search(r"\bv\b", merge)):
+        raise ValueError(
+            f"unknown merge {merge!r}: expected one of {set(_MERGES)}, "
+            "a callable aggregate, or a fold expression over `acc` "
+            "and `v` (e.g. 'acc * 2 + v')")
     ord_expr = (F.col(order_col) if order_col is not None
                 else F.lit(0)).cast("long")
     u = (table.select(*cols)
@@ -142,7 +159,6 @@ def multiput(table: DataFrame, updates: DataFrame,
          .unionByName(updates
                       .select(*cols, ord_expr.alias("_ord"))
                       .withColumn("_src", F.lit(1).cast("long"))))
-    import re
     fold = re.sub(r"\bv\b", "x._v", merge)
     vs = (u.groupBy(*key_cols)
           .agg(F.array_sort(F.collect_list(

@@ -39,23 +39,30 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """doc_id, lang_pred — stopword-hit language heuristic with a fixed
-    tie order (first language in config.LANG_STOPS wins ties)."""
+    tie order (first language in config.LANG_STOPS wins ties).
+
+    Each language's score is computed ONCE in a projected column; the
+    CASE then only compares columns — the expression stays O(L) instead
+    of re-inlining every size(filter(...)) O(L^2) times (at 4 languages
+    codegen CSE absorbed it, at 50+ it would not)."""
     toks = TOKENS
-    scores = []
+    score_cols = []
     for lang, stops in C.LANG_STOPS:
         inlist = ", ".join(f"'{w}'" for w in stops)
-        scores.append((lang,
-                       f"size(filter({toks}, t -> t IN ({inlist})))"))
+        score_cols.append(
+            f"size(filter({toks}, t -> t IN ({inlist}))) AS _s_{lang}")
+    scored = docs.selectExpr("doc_id", *score_cols)
     # CASE walks languages in fixed order; >= keeps the earlier language
     # on ties; all-zero -> 'unknown'
     expr = "CASE "
-    for i, (lang, s) in enumerate(scores):
-        others = " AND ".join(
-            f"{s} >= {s2}" for j, (l2, s2) in enumerate(scores) if j > i)
+    langs = [lang for lang, _ in C.LANG_STOPS]
+    for i, lang in enumerate(langs):
+        s = f"_s_{lang}"
+        others = " AND ".join(f"{s} >= _s_{l2}" for l2 in langs[i + 1:])
         cond = f"{s} > 0" + (f" AND {others}" if others else "")
         expr += f"WHEN {cond} THEN '{lang}' "
     expr += "ELSE 'unknown' END"
-    return docs.selectExpr("doc_id", f"{expr} AS lang_pred")
+    return scored.selectExpr("doc_id", f"{expr} AS lang_pred")
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

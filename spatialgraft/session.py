@@ -53,8 +53,24 @@ def get_spark(app: str = "spatialgraft",
         # hands them SPARK_LOCAL_DIRS instead (executor blockmgr dirs
         # otherwise land on /tmp even with the conf set; observed as
         # huge fetch-wait + near-zero task CPU at the 4N level).  The
-        # env must exist BEFORE the JVM forks the workers.
-        os.environ.setdefault("SPARK_LOCAL_DIRS", local_dir)
+        # env must exist BEFORE the JVM forks the workers: if this
+        # process already launched a driver JVM (an earlier local[...]
+        # session), setting it now cannot reach the executors and any
+        # executor_local_dirs record read back from the env would lie —
+        # warn instead of setting it.
+        from pyspark import SparkContext
+        if SparkContext._gateway is not None:
+            import warnings
+            warnings.warn(
+                "get_spark(local-cluster): a driver JVM already exists "
+                "in this process; SPARK_LOCAL_DIRS cannot be exported "
+                "to executors now — executor shuffle dirs will be the "
+                "Spark default (/tmp), not "
+                f"{os.environ.get('SPARK_LOCAL_DIRS', local_dir)!r}. "
+                "Run scaling levels in a fresh process.",
+                stacklevel=2)
+        else:
+            os.environ.setdefault("SPARK_LOCAL_DIRS", local_dir)
     builder = SparkSession.builder.master(master)
     # local-cluster[n,c,mem] only caps what the WORKER may allocate; the
     # executor JVM heap itself comes from spark.executor.memory (default
