@@ -44,6 +44,15 @@ grouped-Arrow plumbing dominates):
            order (the reference's sort+slice at knnJoinRDD.scala:217-231
            is tie-unstable; ties are real here, so the canon matters).
 
+Driver-side construction cost matters too: plan building used to run
+~40 chained withColumn calls (each one a full Catalyst analysis of a
+growing tree — measured ~2.5 s of pure driver time per sf0.1 call) plus
+an eager queries.count() for the broadcast auto-gate.  Construction now
+fuses each logical step into ONE selectExpr (lateral column aliases
+keep sub-expressions single-sourced) and the broadcast gate reads the
+optimizer's sizeInBytes estimate instead of running a count — the only
+jobs a call runs are the histogram collect and the caller's action.
+
 Skew (J9): pass a SpatialPartitioning `plan` and stage 1 joins on
 (cell, salt) — the data side hashes hot cells into `nsplits` salt
 slices, the multicast ring replicates across them (the reference salts
@@ -92,44 +101,46 @@ def _with_ring_bounds(queries: DataFrame,
     over-fetch ~100x for the bound it buys.  Sparse cells use the 3x3
     ring.  Correctness is unaffected: the ring only produces the kth
     bound; too few candidates -> exact SAT-driven stage-2 fallback."""
-    q = (queries
-         .withColumn("_cx", F.expr(f"(qmx * {C.CELL_CX}) div {C.WORLD_MX}"))
-         .withColumn("_cy", F.expr(f"(qmy * {C.CELL_CY}) div {C.WORLD_MY}"))
-         .withColumn("cell", F.col("_cx") * C.CELL_CY + F.col("_cy")))
+    cx = f"((qmx * {C.CELL_CX}) div {C.WORLD_MX})"
+    cy = f"((qmy * {C.CELL_CY}) div {C.WORLD_MY})"
+    q = queries.selectExpr(
+        "qid", "qmx", "qmy", "qx", "qy",
+        f"{cx} AS _cx", f"{cy} AS _cy",
+        f"({cx}) * {C.CELL_CY} + ({cy}) AS cell")
     if cell_counts is not None:
         q = (q.join(F.broadcast(cell_counts), on="cell", how="left")
-             .fillna({"cellcnt": 0})
-             .withColumn("_r", F.when(F.col("cellcnt") >= 3 * k, 0)
-                         .otherwise(1))
-             .drop("cellcnt"))
+             .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
+                         f"CASE WHEN coalesce(cellcnt, 0) >= {3 * k} "
+                         "THEN 0 ELSE 1 END AS _r"))
     else:
-        q = q.withColumn("_r", F.lit(1))
-    q = (q.drop("cell")
-         .withColumn("_cxa", F.expr("greatest(_cx - _r, 0)"))
-         .withColumn("_cxb", F.expr(f"least(_cx + _r, {C.CELL_CX - 1})"))
-         .withColumn("_cya", F.expr("greatest(_cy - _r, 0)"))
-         .withColumn("_cyb", F.expr(f"least(_cy + _r, {C.CELL_CY - 1})"))
-         .withColumn("ring_x0", F.expr(
-             f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) div {C.CELL_CX}"))
-         .withColumn("ring_x1", F.expr(
-             f"((_cxb + 1) * {C.WORLD_MX} + {C.CELL_CX - 1}) "
-             f"div {C.CELL_CX} - 1"))
-         .withColumn("ring_y0", F.expr(
-             f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) div {C.CELL_CY}"))
-         .withColumn("ring_y1", F.expr(
-             f"((_cyb + 1) * {C.WORLD_MY} + {C.CELL_CY - 1}) "
-             f"div {C.CELL_CY} - 1")))
-    return q
+        q = q.selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
+                         "1 AS _r")
+    # one fused select: corners via lateral aliases, then the ring's
+    # exact milli bounds (same floor arithmetic as the original chain)
+    return q.selectExpr(
+        "qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy", "_r",
+        "greatest(_cx - _r, 0) AS _cxa",
+        f"least(_cx + _r, {C.CELL_CX - 1}) AS _cxb",
+        "greatest(_cy - _r, 0) AS _cya",
+        f"least(_cy + _r, {C.CELL_CY - 1}) AS _cyb",
+        f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) div {C.CELL_CX} "
+        "AS ring_x0",
+        f"((_cxb + 1) * {C.WORLD_MX} + {C.CELL_CX - 1}) "
+        f"div {C.CELL_CX} - 1 AS ring_x1",
+        f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) div {C.CELL_CY} "
+        "AS ring_y0",
+        f"((_cyb + 1) * {C.WORLD_MY} + {C.CELL_CY - 1}) "
+        f"div {C.CELL_CY} - 1 AS ring_y1")
 
 
 def _ring(qmeta: DataFrame) -> DataFrame:
-    """Multicast each query row to its ring cells."""
+    """Multicast each query row to its ring cells (projected to what
+    stage 1 consumes: qid, qx, qy, cell)."""
     return (qmeta
             .withColumn("_gx", F.explode(F.sequence("_cxa", "_cxb")))
             .withColumn("_gy", F.explode(F.sequence("_cya", "_cyb")))
-            .withColumn("cell", F.col("_gx") * C.CELL_CY + F.col("_gy"))
-            .drop("_cx", "_cy", "_cxa", "_cxb", "_cya", "_cyb",
-                  "_gx", "_gy", "_r"))
+            .selectExpr("qid", "qx", "qy",
+                        f"_gx * {C.CELL_CY} + _gy AS cell"))
 
 
 def _sat_rows(counts: dict[int, int]) -> list[int]:
@@ -148,8 +159,8 @@ def _sat_rows(counts: dict[int, int]) -> list[int]:
     return sat
 
 
-def _ring_count_expr(sat: str, cxa: str, cxb: str, cya: str, cyb: str
-                     ) -> Column:
+def _ring_count_sql(sat: str, cxa: str, cxb: str, cya: str, cyb: str
+                    ) -> str:
     """Sum of cell counts over the inclusive cell-rectangle via 4 SAT
     lookups (element_at is 1-based; the padding makes -1 edges safe)."""
     cy1 = C.CELL_CY + 1
@@ -158,9 +169,8 @@ def _ring_count_expr(sat: str, cxa: str, cxb: str, cya: str, cyb: str
         return (f"element_at({sat}, "
                 f"CAST(({i}) * {cy1} + ({j}) + 1 AS INT))")
 
-    return F.expr(
-        f"{at(f'{cxb} + 1', f'{cyb} + 1')} - {at(cxa, f'{cyb} + 1')} "
-        f"- {at(f'{cxb} + 1', cya)} + {at(cxa, cya)}")
+    return (f"{at(f'{cxb} + 1', f'{cyb} + 1')} - {at(cxa, f'{cyb} + 1')} "
+            f"- {at(f'{cxb} + 1', cya)} + {at(cxa, cya)}")
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
@@ -175,8 +185,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     pred: optional extra data-side predicate (knnFilter semantics, F6).
     plan: optional SpatialPartitioning -> salt hot cells in stage 1 (J9).
     broadcast_queries: None = auto size-gate per join (ring fan-out 9,
-    stage-2 cover fan-out ~64) against the session broadcast threshold;
-    True/False force.
+    stage-2 cover fan-out ~64) against the session broadcast threshold,
+    from the optimizer's plan-size estimate — no job runs.  True/False
+    force.
     materialize: persist the (query-set-sized) result eagerly and
     unpersist all intermediates before returning.  Default False so
     library callers (and plan inspection) stay lazy — but the LAZY path
@@ -185,11 +196,11 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     it).  Bench/driver paths pass True: eager one-pass + clean cache."""
     spark = points.sparkSession
     if broadcast_queries is None:
-        from ..broadcast import ROW_BYTES, threshold_bytes
+        from ..broadcast import plan_size_bytes, threshold_bytes
         thr = threshold_bytes(spark)
-        nq = queries.count() if thr > 0 else 0
-        bc_ring = thr > 0 and nq * 9 * ROW_BYTES <= thr
-        bc_cover = thr > 0 and nq * 64 * ROW_BYTES <= thr
+        est = plan_size_bytes(queries) if thr > 0 else 1 << 62
+        bc_ring = thr > 0 and est * 9 <= thr
+        bc_cover = thr > 0 and est * 64 <= thr
     else:
         bc_ring = bc_cover = broadcast_queries
     if pred is not None:
@@ -212,10 +223,10 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     if plan is not None:
         m = F.broadcast(plan.to_df(spark))
         pts = (pts.join(m.select("cell", "nsplits"), on="cell", how="left")
-               .fillna({"nsplits": 1})
-               .withColumn("salt", F.pmod(F.xxhash64("doc_key"),
-                                          F.col("nsplits").cast("long")))
-               .drop("nsplits"))
+               .selectExpr(
+                   "cell", "doc_key", "mx", "my",
+                   "pmod(xxhash64(doc_key), "
+                   "CAST(coalesce(nsplits, 1) AS BIGINT)) AS salt"))
     # Repartition by (cell, salt) to the session shuffle width BEFORE
     # caching: (a) partition count then scales with configuration, not
     # core count — an input cached in defaultParallelism partitions made
@@ -234,7 +245,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # ~3x smaller, promote nothing long-lived, and overflow to local
     # disk (tmpfs here, NVMe on a real cluster) at memory-bandwidth
     # speed; the two re-reads (stage 1 + stage 2) pay one cheap
-    # columnar deserialize instead.
+    # columnar deserialize instead.  (At sf0.1 the deserialize is
+    # micro-seconds — the round-3 regression there was driver-side
+    # plan-analysis cost, not this cache, see module docstring.)
     # (pyspark.StorageLevel.MEMORY_AND_DISK has deserialized=False —
     # the serialized level; the DataFrame.persist() default is the
     # object-graph MEMORY_AND_DISK_DESER)
@@ -256,11 +269,10 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     if plan is not None:
         ring = (ring.join(m.select("cell", "nsplits"), on="cell",
                           how="left")
-                .fillna({"nsplits": 1})
-                .withColumn("salt", F.explode(F.sequence(
-                    F.lit(0).cast("long"),
-                    (F.col("nsplits") - 1).cast("long"))))
-                .drop("nsplits"))
+                .selectExpr("qid", "qx", "qy", "cell",
+                            "explode(sequence(CAST(0 AS BIGINT), "
+                            "CAST(coalesce(nsplits, 1) - 1 AS BIGINT)"
+                            ")) AS salt"))
     if bc_ring:
         ring = F.broadcast(ring)
 
@@ -292,17 +304,16 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
     any_dense = any(c >= dense_thresh for c in counts.values())
     if any_dense:
-        m_expr = F.when(
-            F.col("cellcnt") < dense_thresh,
-            F.lit(1).cast("long")).otherwise(
-            F.ceil(F.sqrt(F.col("cellcnt").cast("double") / (3.0 * k)))
-            .cast("long"))
         pts1 = (pts.join(F.broadcast(cell_counts), on="cell", how="left")
-                .fillna({"cellcnt": 0})
-                .withColumn("_m", m_expr)
-                .where(F.pmod(F.xxhash64(F.col("doc_key") * 2 + 1),
-                              F.col("_m")) == 0)
-                .drop("cellcnt", "_m"))
+                .selectExpr(
+                    "cell", "doc_key", "mx", "my",
+                    *(["salt"] if plan is not None else []),
+                    f"CASE WHEN coalesce(cellcnt, 0) < {dense_thresh} "
+                    "THEN CAST(1 AS BIGINT) ELSE CAST(ceil(sqrt("
+                    f"CAST(coalesce(cellcnt, 0) AS DOUBLE) / {3.0 * k}"
+                    ")) AS BIGINT) END AS _m")
+                .where(F.expr("pmod(xxhash64(doc_key * 2 + 1), _m) = 0"))
+                .drop("_m"))
     else:
         pts1 = pts
 
@@ -311,10 +322,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # those are the rows the per-group top-k heap/sort streams, and
     # qx/qy/mx/my riding along would double the sort's memory traffic
     # (the measured 4N bottleneck is the memory bus, not ALU).
-    cand1 = (pts1.join(ring.select(*keys, "qid", "qx", "qy"),
-                       on=keys, how="inner")
-             .withColumn("dist2", F.expr(_D2))
-             .select(*keys, "qid", "doc_key", "dist2")
+    cand1 = (pts1.join(ring, on=keys, how="inner")
+             .selectExpr(*keys, "qid", "doc_key", f"{_D2} AS dist2")
              .withColumn("prnk", F.row_number().over(wpre))
              .where(F.col("prnk") <= k)
              .drop("prnk")
@@ -328,11 +337,10 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     agg = cand1.groupBy("qid").agg(F.count("*").alias("cnt"),
                                    F.max("dist2").alias("kth2"))
     stats = (qmeta.crossJoin(F.broadcast(sat_df))
-             .withColumn("ring_sum", _ring_count_expr(
-                 "sat", "_cxa", "_cxb", "_cya", "_cyb"))
-             .select("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
-                     "ring_sum",
-                     "ring_x0", "ring_x1", "ring_y0", "ring_y1")
+             .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
+                         _ring_count_sql("sat", "_cxa", "_cxb",
+                                         "_cya", "_cyb") + " AS ring_sum",
+                         "ring_x0", "ring_x1", "ring_y0", "ring_y1")
              .join(agg, on="qid", how="left")
              .fillna({"cnt": 0})
              .persist())
@@ -340,16 +348,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # filled queries: exact kth bound from the ring top-k; done only
     # when the ring was complete (no sampled cell) AND the kth-radius
     # box sits inside the ring
+    sampling_guard = (f"ring_sum < {dense_thresh} AND " if any_dense
+                      else "")
     filled = (stats.where(F.col("cnt") >= k)
-              .withColumn("rm", (F.ceil(F.sqrt("kth2") * 1000.0) + 1)
-                          .cast("bigint"))
-              .withColumn("done",
-                          ((F.col("ring_sum") < dense_thresh)
-                           if any_dense else F.lit(True)) &
-                          (F.col("qmx") - F.col("rm") >= F.col("ring_x0")) &
-                          (F.col("qmx") + F.col("rm") <= F.col("ring_x1")) &
-                          (F.col("qmy") - F.col("rm") >= F.col("ring_y0")) &
-                          (F.col("qmy") + F.col("rm") <= F.col("ring_y1"))))
+              .selectExpr(
+                  "*",
+                  "CAST(ceil(sqrt(kth2) * 1000.0) + 1 AS BIGINT) AS rm",
+                  f"({sampling_guard}"
+                  "qmx - rm >= ring_x0 AND qmx + rm <= ring_x1 AND "
+                  "qmy - rm >= ring_y0 AND qmy + rm <= ring_y1) AS done"))
 
     done = (cand1.join(filled.where("done").select("qid"), on="qid")
             .select("qid", "doc_key", "dist2", "rnk"))
@@ -361,63 +368,59 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     total = sum(counts.values())
     need = min(k, total) if total else 0
     under = stats.where(F.col("cnt") < k)
+    radii = ", ".join(str(r) for r in _EXPAND_RADII)
     exp = (under.crossJoin(F.broadcast(sat_df))
-           .withColumn("_r", F.explode(F.array(
-               *[F.lit(r) for r in _EXPAND_RADII])))
-           .withColumn("_cxa", F.expr("greatest(_cx - _r, 0)"))
-           .withColumn("_cxb", F.expr(f"least(_cx + _r, {C.CELL_CX - 1})"))
-           .withColumn("_cya", F.expr("greatest(_cy - _r, 0)"))
-           .withColumn("_cyb", F.expr(f"least(_cy + _r, {C.CELL_CY - 1})"))
-           .withColumn("_rc", _ring_count_expr(
-               "sat", "_cxa", "_cxb", "_cya", "_cyb"))
+           .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
+                       "sat", f"explode(array({radii})) AS _r")
+           .selectExpr("qid", "qmx", "qmy", "qx", "qy", "sat", "_r",
+                       "greatest(_cx - _r, 0) AS _cxa",
+                       f"least(_cx + _r, {C.CELL_CX - 1}) AS _cxb",
+                       "greatest(_cy - _r, 0) AS _cya",
+                       f"least(_cy + _r, {C.CELL_CY - 1}) AS _cyb")
+           .withColumn("_rc", F.expr(_ring_count_sql(
+               "sat", "_cxa", "_cxb", "_cya", "_cyb")))
            .where(F.col("_rc") >= F.lit(need))
            .withColumn("_pick", F.row_number().over(
                Window.partitionBy("qid").orderBy("_r")))
            .where(F.col("_pick") == 1)
            # exact milli bounds of the chosen box (same floor arithmetic
-           # as _with_ring_bounds), far-corner distance -> kth bound
-           .withColumn("_bx0", F.expr(
-               f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) div {C.CELL_CX}"))
-           .withColumn("_bx1", F.expr(
+           # as _with_ring_bounds), far-corner distance -> kth bound;
+           # lateral aliases keep each bound single-sourced
+           .selectExpr(
+               "qid", "qmx", "qmy", "qx", "qy",
+               f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) "
+               f"div {C.CELL_CX} AS _bx0",
                f"((_cxb + 1) * {C.WORLD_MX} + {C.CELL_CX - 1}) "
-               f"div {C.CELL_CX} - 1"))
-           .withColumn("_by0", F.expr(
-               f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) div {C.CELL_CY}"))
-           .withColumn("_by1", F.expr(
+               f"div {C.CELL_CX} - 1 AS _bx1",
+               f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) "
+               f"div {C.CELL_CY} AS _by0",
                f"((_cyb + 1) * {C.WORLD_MY} + {C.CELL_CY - 1}) "
-               f"div {C.CELL_CY} - 1"))
-           .withColumn("_dxm", F.greatest(F.col("qmx") - F.col("_bx0"),
-                                          F.col("_bx1") - F.col("qmx")))
-           .withColumn("_dym", F.greatest(F.col("qmy") - F.col("_by0"),
-                                          F.col("_by1") - F.col("qmy")))
-           .withColumn("rm", (F.ceil(F.sqrt(
-               (F.col("_dxm") * F.col("_dxm") +
-                F.col("_dym") * F.col("_dym")).cast("double"))) + 1)
-               .cast("bigint"))
-           .withColumn("kth2",
-                       (F.col("rm") * F.col("rm")).cast("double") / 1.0e6)
-           .select("qid", "qmx", "qmy", "qx", "qy", "rm", "kth2"))
+               f"div {C.CELL_CY} - 1 AS _by1",
+               "greatest(qmx - _bx0, _bx1 - qmx) AS _dxm",
+               "greatest(qmy - _by0, _by1 - qmy) AS _dym")
+           .selectExpr(
+               "qid", "qmx", "qmy", "qx", "qy",
+               "CAST(ceil(sqrt(CAST(_dxm * _dxm + _dym * _dym "
+               "AS DOUBLE))) + 1 AS BIGINT) AS rm",
+               "CAST(rm * rm AS DOUBLE) / 1.0E6 AS kth2"))
 
     # stage 2: exact radius re-join for boundary + underfilled queries
     bq = (filled.where("NOT done")
           .select("qid", "qmx", "qmy", "qx", "qy", "rm", "kth2"))
     if need:
         bq = bq.unionByName(exp)
-    bq = (bq.withColumn("xmin", F.greatest(F.lit(0),
-                                           F.col("qmx") - F.col("rm")))
-          .withColumn("xmax", F.least(F.lit(C.WORLD_MX - 1),
-                                      F.col("qmx") + F.col("rm")))
-          .withColumn("ymin", F.greatest(F.lit(0),
-                                         F.col("qmy") - F.col("rm")))
-          .withColumn("ymax", F.least(F.lit(C.WORLD_MY - 1),
-                                      F.col("qmy") + F.col("rm")))
-          .select("qid", "qx", "qy", "kth2",
-                  "xmin", "xmax", "ymin", "ymax"))
+    bq = bq.selectExpr(
+        "qid", "qx", "qy", "kth2",
+        "greatest(0, qmx - rm) AS xmin",
+        f"least({C.WORLD_MX - 1}, qmx + rm) AS xmax",
+        "greatest(0, qmy - rm) AS ymin",
+        f"least({C.WORLD_MY - 1}, qmy + rm) AS ymax")
     cover = cover_cells(bq)
     if bc_cover:
         cover = F.broadcast(cover)
     boundary = (pts.join(cover, on="cell", how="inner")
-                .withColumn("dist2", F.expr(_D2))
+                .selectExpr(*keys, "qid", "doc_key", "kth2",
+                            f"{_D2} AS dist2")
                 .where(F.col("dist2") <= F.col("kth2"))
                 .select(*keys, "qid", "doc_key", "dist2")
                 .withColumn("prnk", F.row_number().over(wpre))
