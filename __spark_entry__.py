@@ -85,6 +85,15 @@ def _q_pip_join_count(spark, sf_dir):
                                datagen.polygons(spark, sf_dir))
 
 
+def _q_pip_concave(spark, sf_dir):
+    """Arbitrary simple polygons (concave, variable vertex count):
+    exact int64 even-odd ray-cast — the north rule's general
+    point-in-polygon (the convex fast path stays for fixed rings)."""
+    from spatialgraft.ops import pip as pops
+    return pops.pip_join_concave_count(
+        _points(spark, sf_dir), datagen.polygons_concave(spark, sf_dir))
+
+
 def _q_tiles_points(spark, sf_dir):
     from spatialgraft.ops import tiles as tops
     return tops.assign_tiles_points(_points(spark, sf_dir))
@@ -267,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "knn_k150": _q_knn_k150,
         "pip_join_count": _q_pip_join_count,
+        "pip_concave": _q_pip_concave,
         "tiles_points": _q_tiles_points,
         "tiles_boxes": _q_tiles_boxes,
         "token_stats": _q_token_stats,

@@ -59,6 +59,22 @@ QRY_A2, QRY_B2 = 2246822519, 17
 # Convex hexagon template (CCW, integer offsets scaled by radius r).
 HEX_OFFSETS = [(2, 0), (1, 2), (-1, 2), (-2, 0), (-1, -2), (1, -2)]
 
+# Concave star-polygon templates (integer offsets scaled by radius r):
+# vertices are sorted by angle around the origin (=> always simple /
+# non-self-intersecting, CCW) with radii alternating outer/inner
+# (=> reflex vertices, genuinely concave).  Variable vertex counts
+# (8 / 10 / 12) exercise the variable-length even-odd ray-cast path.
+# Max |offset| is 4, so the bbox is center +- 4r.  Geometric validity
+# (simple, CCW, concave) is machine-checked in tests/test_pip_concave.py.
+STAR_OFFSETS = [
+    [(4, 0), (1, 1), (0, 4), (-1, 1), (-4, 0), (-1, -1), (0, -4),
+     (1, -1)],
+    [(4, 0), (1, 1), (1, 3), (0, 1), (-3, 2), (-2, 0), (-3, -2),
+     (-1, -2), (1, -3), (2, -1)],
+    [(4, 0), (2, 1), (2, 3), (0, 1), (-2, 3), (-2, 1), (-4, 0),
+     (-2, -1), (-2, -3), (0, -1), (2, -3), (2, -1)],
+]
+
 DEFAULT_K = 10
 
 # kNN stage 1 samples cells denser than 3k*KNN_SAMPLE_MOD at rate

@@ -84,3 +84,10 @@ def polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convex hexagons (poly_id, vx0..vy5, bbox) from part."""
     load_table(spark, sf_dir, "part")
     return spark.sql(sqlgen.polygons_cte("spark"))
+
+
+def polygons_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave star polygons (poly_id, vxs, vys arrays, bbox) from part
+    — variable vertex count (8/10/12), genuinely concave."""
+    load_table(spark, sf_dir, "part")
+    return spark.sql(sqlgen.concave_polygons_cte("spark"))

@@ -51,6 +51,15 @@ def all_oracles(k: int = C.DEFAULT_K) -> dict[str, str]:
             "AND p.my BETWEEN g.ymin AND g.ymax "
             f"WHERE {sqlgen.pip_predicate('p.mx', 'p.my', 'g.')} "
             "GROUP BY 1"),
+        "pip_concave": (
+            f"WITH pts AS ({pts}), "
+            f"polys AS ({sqlgen.concave_polygons_cte()}) "
+            "SELECT g.poly_id AS poly_id, COUNT(*) AS cnt "
+            "FROM polys g JOIN pts p "
+            "ON p.mx BETWEEN g.xmin AND g.xmax "
+            "AND p.my BETWEEN g.ymin AND g.ymax "
+            f"WHERE {sqlgen.pip_concave_predicate('p.mx', 'p.my', 'g.vxs', 'g.vys', 'duckdb')} "
+            "GROUP BY 1"),
         "tiles_points": (
             f"WITH pts AS ({pts}) SELECT doc_key, "
             f"((mx * {C.TILE_TX}) // {C.WORLD_MX}) * {C.TILE_TY} "

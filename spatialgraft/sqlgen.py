@@ -137,6 +137,92 @@ def polygons_cte(dialect: str = "duckdb") -> str:
             f" FROM part WHERE {b} % 3 = 1")
 
 
+def concave_polygons_cte(dialect: str = "duckdb") -> str:
+    """Concave star polygons from part (% 3 == 2 subset, disjoint from
+    the convex % 3 == 1 set): poly_id, vertex arrays (vxs, vys — milli
+    ints, variable length 8/10/12 by template), and the bbox.
+
+    Vertices are center + r * STAR_OFFSETS[t][i] — exact int64; the
+    center is clamped so center +- 4r stays inside the world box."""
+    b = "CAST(p_partkey AS BIGINT)"
+    g1 = f"(({b} * {C.BOX_A1} + 333667) % 330000)"
+    g2 = f"(({b} * {C.BOX_A2} + 123457) % 150000)"
+    pcx = f"(15000 + {g1})"
+    pcy = f"(15000 + {g2})"
+    r = f"(500 + ({b} * 29) % 2500)"
+    tmpl = idiv(b, "3", dialect) + " % 3"
+
+    def arr(vals: list[str]) -> str:
+        inner = ", ".join(vals)
+        return (f"array({inner})" if dialect == "spark" else f"[{inner}]")
+
+    def case_arr(coord: int) -> str:
+        # coord 0 -> x offsets, 1 -> y offsets
+        branches = []
+        for t, offs in enumerate(C.STAR_OFFSETS):
+            base = pcx if coord == 0 else pcy
+            vals = [f"({base} + ({r}) * {o[coord]})" for o in offs]
+            branches.append(f"WHEN ({tmpl}) = {t} THEN {arr(vals)}")
+        return "CASE " + " ".join(branches) + " END"
+
+    return (f"SELECT {b} AS poly_id, "
+            f"{case_arr(0)} AS vxs, {case_arr(1)} AS vys, "
+            f"({pcx} - ({r}) * 4) AS xmin, "
+            f"({pcx} + ({r}) * 4) AS xmax, "
+            f"({pcy} - ({r}) * 4) AS ymin, "
+            f"({pcy} + ({r}) * 4) AS ymax "
+            f"FROM part WHERE {b} % 3 = 2")
+
+
+def pip_concave_predicate(px: str, py: str, vxs: str = "vxs",
+                          vys: str = "vys",
+                          dialect: str = "spark") -> str:
+    """Border-inclusive point-in-polygon for ARBITRARY simple polygons
+    (concave, any vertex count) — exact int64 even-odd ray-cast, no UDF.
+
+    For each edge i (vertices 1-based i+1 -> i+2, wrapping), with the
+    horizontal ray from (px, py) toward +x:
+      straddle  the edge crosses the ray's line: (y1 > py) != (y2 > py)
+      cross     (x2-x1)*(py-y1) - (px-x1)*(y2-y1)  — the intersection
+                x satisfies (ix - px)*(y2-y1) = cross, so ix > px
+                iff (cross > 0) == (y2 > y1); all int64, exact
+      on-edge   cross == 0 and (px, py) inside the edge's bbox
+                -> the point lies ON the segment (border-inclusive)
+    inside = on any edge OR odd number of ray crossings.
+
+    The same text structure is emitted for Spark (sequence/filter/
+    exists/element_at) and DuckDB (range/list_filter/len/[]), with
+    identical integer comparisons -> bit-exact agreement.  The convex
+    fast path (pip_predicate) remains for fixed convex rings."""
+    spark = dialect == "spark"
+    n = f"size({vxs})" if spark else f"len({vxs})"
+
+    def elem(a: str, idx: str) -> str:
+        return (f"element_at({a}, CAST({idx} AS INT))" if spark
+                else f"{a}[{idx}]")
+
+    # 1-based current and wrapped-next vertex indices from lambda var i
+    i1 = "i + 1"
+    i2 = (f"CASE WHEN i = {n} - 1 THEN 1 ELSE i + 2 END")
+    x1, y1 = elem(vxs, i1), elem(vys, i1)
+    x2, y2 = elem(vxs, i2), elem(vys, i2)
+    cross = (f"(({x2}) - ({x1})) * (({py}) - ({y1})) "
+             f"- (({px}) - ({x1})) * (({y2}) - ({y1}))")
+    crossing = (f"((({y1}) > ({py})) != (({y2}) > ({py}))) "
+                f"AND ((({cross}) > 0) = (({y2}) > ({y1})))")
+    on_edge = (f"(({cross}) = 0 "
+               f"AND ({px}) >= least({x1}, {x2}) "
+               f"AND ({px}) <= greatest({x1}, {x2}) "
+               f"AND ({py}) >= least({y1}, {y2}) "
+               f"AND ({py}) <= greatest({y1}, {y2}))")
+    if spark:
+        seq = f"sequence(0, {n} - 1)"
+        return (f"(exists({seq}, i -> {on_edge}) OR "
+                f"size(filter({seq}, i -> {crossing})) % 2 = 1)")
+    return (f"(len(list_filter(range({n}), i -> {on_edge})) > 0 OR "
+            f"len(list_filter(range({n}), i -> {crossing})) % 2 = 1)")
+
+
 def pip_predicate(px: str, py: str, prefix: str = "") -> str:
     """Border-inclusive point-in-convex-polygon as a conjunction of 6
     exact int64 cross-product tests (CCW ring => all crosses >= 0)."""

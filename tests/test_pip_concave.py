@@ -1,0 +1,173 @@
+"""Concave point-in-polygon: template validity (machine-checked), a
+pure-Python brute-force twin of the even-odd ray-cast on hostile
+fixtures (reflex pockets, on-edge/on-vertex points), and the full
+operator vs the twin on a dense local grid."""
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatialgraft import config as C
+from spatialgraft.ops.pip import pip_join_concave
+
+
+# ---------------------------------------------------------- pure twin
+
+def _inside_bruteforce(px, py, xs, ys):
+    """Reference even-odd ray-cast with exact rational intersection
+    points (Fraction) — independently derived from the SQL predicate:
+    border-inclusive, ray toward +x, strict (y1 > py) != (y2 > py)
+    straddle rule."""
+    n = len(xs)
+    # on-edge check
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        if (cross == 0 and min(x1, x2) <= px <= max(x1, x2)
+                and min(y1, y2) <= py <= max(y1, y2)):
+            return True
+    hits = 0
+    for i in range(n):
+        x1, y1 = xs[i], ys[i]
+        x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            ix = Fraction(x1) + Fraction(x2 - x1) * Fraction(
+                py - y1, y2 - y1)
+            if ix > px:
+                hits += 1
+    return hits % 2 == 1
+
+
+def _segments_intersect(p1, p2, p3, p4):
+    def o(a, b, c):
+        v = ((b[0] - a[0]) * (c[1] - a[1])
+             - (b[1] - a[1]) * (c[0] - a[0]))
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+
+    o1, o2 = o(p1, p2, p3), o(p1, p2, p4)
+    o3, o4 = o(p3, p4, p1), o(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    return ((o1 == 0 and on_seg(p1, p2, p3))
+            or (o2 == 0 and on_seg(p1, p2, p4))
+            or (o3 == 0 and on_seg(p3, p4, p1))
+            or (o4 == 0 and on_seg(p3, p4, p2)))
+
+
+# ------------------------------------------------- template validity
+
+@pytest.mark.parametrize("tid", range(len(C.STAR_OFFSETS)))
+def test_star_template_simple_ccw_concave(tid):
+    offs = C.STAR_OFFSETS[tid]
+    n = len(offs)
+    # simple: no two non-adjacent edges intersect
+    edges = [(offs[i], offs[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue
+            assert not _segments_intersect(*edges[i], *edges[j]), \
+                f"template {tid}: edges {i} and {j} intersect"
+    # CCW: shoelace area positive
+    area2 = sum(offs[i][0] * offs[(i + 1) % n][1]
+                - offs[(i + 1) % n][0] * offs[i][1] for i in range(n))
+    assert area2 > 0, f"template {tid} not CCW"
+    # concave: at least one reflex vertex (negative turn in CCW ring)
+    turns = []
+    for i in range(n):
+        ax, ay = offs[i - 1]
+        bx, by = offs[i]
+        cx, cy = offs[(i + 1) % n]
+        turns.append((bx - ax) * (cy - by) - (by - ay) * (cx - bx))
+    assert any(t < 0 for t in turns), f"template {tid} is convex"
+
+
+# ------------------------------------------------ operator vs twin
+
+def _poly_df(spark, polys):
+    rows = []
+    for pid, (xs, ys) in enumerate(polys):
+        rows.append((pid, xs, ys, min(xs), min(ys), max(xs), max(ys)))
+    return spark.createDataFrame(
+        rows, "poly_id bigint, vxs array<bigint>, vys array<bigint>, "
+              "xmin bigint, ymin bigint, xmax bigint, ymax bigint")
+
+
+def test_concave_operator_matches_bruteforce_grid(spark):
+    # one star of each template + a hand-made concave "C" shape whose
+    # pocket would be misclassified by any convex test
+    polys = []
+    for t, offs in enumerate(C.STAR_OFFSETS):
+        cx, cy = 100_000 + 3000 * t, 90_000
+        r = 400 + 100 * t
+        polys.append(([cx + r * ox for ox, _ in offs],
+                      [cy + r * oy for _, oy in offs]))
+    cpoly_x = [110_000, 112_000, 112_000, 110_000, 110_000, 111_500,
+               111_500, 110_000]
+    cpoly_y = [88_000, 88_000, 92_000, 92_000, 91_500, 91_500,
+               88_500, 88_500]
+    polys.append((cpoly_x, cpoly_y))
+
+    # dense integer grid spanning all polygons (+ outside margin)
+    xs = range(97_000, 115_001, 157)
+    ys = range(86_000, 94_001, 101)
+    pts = [(i, x, y) for i, (x, y) in enumerate(
+        (x, y) for x in xs for y in ys)]
+    pts_df = spark.createDataFrame(
+        pts, "doc_key bigint, mx bigint, my bigint")
+
+    got = {(r["poly_id"], r["doc_key"])
+           for r in pip_join_concave(pts_df, _poly_df(spark, polys))
+           .collect()}
+    want = set()
+    for pid, (pxs, pys) in enumerate(polys):
+        for i, x, y in pts:
+            if (min(pxs) <= x <= max(pxs) and min(pys) <= y <= max(pys)
+                    and _inside_bruteforce(x, y, pxs, pys)):
+                want.add((pid, i))
+    assert got == want
+    assert len(want) > 100  # non-vacuous
+
+
+def test_concave_border_and_pocket_points(spark):
+    # C-shape: explicit on-edge, on-vertex, pocket (outside), and
+    # interior points
+    pxs = [0, 4000, 4000, 0, 0, 3000, 3000, 0]
+    pys = [0, 0, 8000, 8000, 7000, 7000, 1000, 1000]
+    cases = [
+        (0, (2000, 0), True),      # on bottom edge
+        (1, (4000, 4000), True),   # on right edge
+        (2, (0, 0), True),         # on vertex
+        (3, (3000, 4000), True),   # on inner pocket wall
+        (4, (2000, 4000), False),  # inside the pocket = OUTSIDE
+        (5, (3500, 4000), True),   # in the right arm
+        (6, (500, 500), True),     # in the bottom arm
+        (7, (5000, 4000), False),  # right of polygon
+        (8, (1000, 7500), True),   # in the top arm
+    ]
+    pts_df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y), _ in cases],
+        "doc_key bigint, mx bigint, my bigint")
+    got = {r["doc_key"] for r in pip_join_concave(
+        pts_df, _poly_df(spark, [(pxs, pys)])).collect()}
+    for i, (x, y), inside in cases:
+        assert _inside_bruteforce(x, y, pxs, pys) == inside, (i, x, y)
+        assert (i in got) == inside, (i, x, y)
+
+
+def test_concave_plan_has_no_python(spark, sf_smoke):
+    from spatialgraft import datagen
+    from spatialgraft.extract import with_geometry
+    from spatialgraft.ops.pip import pip_join_concave_count
+    df = pip_join_concave_count(
+        with_geometry(datagen.documents_spans(spark, sf_smoke)),
+        datagen.polygons_concave(spark, sf_smoke))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
