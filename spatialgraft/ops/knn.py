@@ -173,101 +173,85 @@ def _ring_count_sql(sat: str, cxa: str, cxb: str, cya: str, cyb: str
             f"- {at(f'{cxb} + 1', cya)} + {at(cxa, cya)}")
 
 
-def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
-             broadcast_queries: bool | None = None,
-             pred: Column | str | None = None,
-             plan=None,
-             materialize: bool = False) -> DataFrame:
-    """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
-    points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
-    (dist2, doc_key).
+def _dense_prefix(spark, cell_counts: DataFrame) -> DataFrame:
+    """Lazy twin of _sat_rows: INCLUSIVE 2-D prefix sums P'(pi, pj) =
+    sum of counts over cells with cell_x <= pi, cell_y <= pj, as a
+    dense O(#cells) DataFrame (two cumulative windows over the grid).
+    SAT semantics (strict <) are recovered at lookup time by shifting
+    corner indices down by one (missing/-1 keys coalesce to 0)."""
+    grid = (spark.range(C.CELL_CX).selectExpr("id AS cx")
+            .crossJoin(spark.range(C.CELL_CY).selectExpr("id AS cy")))
+    c2d = cell_counts.selectExpr(f"cell div {C.CELL_CY} AS cx",
+                                 f"cell % {C.CELL_CY} AS cy", "cellcnt")
+    d = (grid.join(c2d, on=["cx", "cy"], how="left")
+         .selectExpr("cx AS pi", "cy AS pj",
+                     "coalesce(cellcnt, CAST(0 AS BIGINT)) AS c"))
+    w1 = (Window.partitionBy("pi").orderBy("pj")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    w2 = (Window.partitionBy("pj").orderBy("pi")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (d.withColumn("s1", F.sum("c").over(w1))
+            .withColumn("p", F.sum("s1").over(w2))
+            .select("pi", "pj", "p"))
 
-    pred: optional extra data-side predicate (knnFilter semantics, F6).
-    plan: optional SpatialPartitioning -> salt hot cells in stage 1 (J9).
-    broadcast_queries: None = auto size-gate per join (ring fan-out 9,
-    stage-2 cover fan-out ~64) against the session broadcast threshold,
-    from the optimizer's plan-size estimate — no job runs.  True/False
-    force.
-    materialize: persist the (query-set-sized) result eagerly and
-    unpersist all intermediates before returning.  Default False so
-    library callers (and plan inspection) stay lazy — but the LAZY path
-    leaves pts/cand1/stats persisted until the session drops them, and
-    the cell-histogram collect still runs at call time (the SAT needs
-    it).  Bench/driver paths pass True: eager one-pass + clean cache."""
-    spark = points.sparkSession
-    if broadcast_queries is None:
-        from ..broadcast import plan_size_bytes, threshold_bytes
-        thr = threshold_bytes(spark)
-        est = plan_size_bytes(queries) if thr > 0 else 1 << 62
-        bc_ring = thr > 0 and est * 9 <= thr
-        bc_cover = thr > 0 and est * 64 <= thr
-    else:
-        bc_ring = bc_cover = broadcast_queries
-    if pred is not None:
-        points = points.where(pred if isinstance(pred, Column)
-                              else F.expr(pred))
 
-    # slim projection cached: feeds the cell histogram, stage 1 and
-    # stage 2 (the spans column must not ride into the cache).  It
-    # carries (cell, doc_key, mx:int, my:int) — 24 bytes/row instead of
-    # the 40+ of a (cell, doc_key, x:double, y:double, salt) row: the
-    # doubles are recomputed bit-exactly from the milli ints (_X/_Y)
-    # and the salt column exists only when a skew plan asks for it.
-    # At 10^12 rows this cache/shuffle is the join's one row-count-
-    # sized data stream — its width IS the memory-bus bill.
-    pts = with_cell(points).select(
-        "cell", "doc_key",
-        F.col("mx").cast("int").alias("mx"),
-        F.col("my").cast("int").alias("my"))
-    keys = ["cell"] if plan is None else ["cell", "salt"]
-    if plan is not None:
-        m = F.broadcast(plan.to_df(spark))
-        pts = (pts.join(m.select("cell", "nsplits"), on="cell", how="left")
-               .selectExpr(
-                   "cell", "doc_key", "mx", "my",
-                   "pmod(xxhash64(doc_key), "
-                   "CAST(coalesce(nsplits, 1) AS BIGINT)) AS salt"))
-    # Repartition by (cell, salt) to the session shuffle width BEFORE
-    # caching: (a) partition count then scales with configuration, not
-    # core count — an input cached in defaultParallelism partitions made
-    # each stage-1 map task sort (candidates/cores) rows and OOM at 24x
-    # input on one executor; (b) hash(cell, salt) satisfies the
-    # pre-rank window's clustering, so both window sorts run in place
-    # with NO exchange of the candidate stream — the only full-data
-    # shuffle in the whole join is this one slim-projection shuffle.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # SER storage: the slim projection is the one row-count-sized cache
-    # in the join.  Deserialized caching stores it as object graphs —
-    # measured as a GC death spiral when the cache approaches the
-    # storage pool (a 4x8-core/24 GiB level spent 6400 CPU core-s +
-    # 1400 GC core-s building a 263M-row cache that a 4 GiB heap
-    # builds in ~150 core-s by spilling early).  Serialized blocks are
-    # ~3x smaller, promote nothing long-lived, and overflow to local
-    # disk (tmpfs here, NVMe on a real cluster) at memory-bandwidth
-    # speed; the two re-reads (stage 1 + stage 2) pay one cheap
-    # columnar deserialize instead.  (At sf0.1 the deserialize is
-    # micro-seconds — the round-3 regression there was driver-side
-    # plan-analysis cost, not this cache, see module docstring.)
-    # (pyspark.StorageLevel.MEMORY_AND_DISK has deserialized=False —
-    # the serialized level; the DataFrame.persist() default is the
-    # object-graph MEMORY_AND_DISK_DESER)
-    pts = (pts.repartition(n_parts, *keys)
-           .persist(StorageLevel.MEMORY_AND_DISK))
+def _ring_count_join(prefix_df: DataFrame):
+    """add_ring_count strategy (lazy path): 4 signed corner lookups per
+    key against the dense inclusive-prefix grid — explode to corners,
+    broadcast-join the O(#cells) grid, sum back.  Exact twin of the
+    element_at SAT formula."""
+    def add(df: DataFrame, key_cols: list[str], out: str) -> DataFrame:
+        corners = (df.selectExpr(
+            *key_cols,
+            "explode(array("
+            "struct(CAST(_cxb AS BIGINT) AS pi, "
+            "CAST(_cyb AS BIGINT) AS pj, 1 AS sgn), "
+            "struct(CAST(_cxa AS BIGINT) - 1 AS pi, "
+            "CAST(_cyb AS BIGINT) AS pj, -1 AS sgn), "
+            "struct(CAST(_cxb AS BIGINT) AS pi, "
+            "CAST(_cya AS BIGINT) - 1 AS pj, -1 AS sgn), "
+            "struct(CAST(_cxa AS BIGINT) - 1 AS pi, "
+            "CAST(_cya AS BIGINT) - 1 AS pj, 1 AS sgn)"
+            ")) AS c")
+            .selectExpr(*key_cols, "c.pi AS pi", "c.pj AS pj",
+                        "c.sgn AS sgn")
+            .join(F.broadcast(prefix_df), on=["pi", "pj"], how="left")
+            .groupBy(*key_cols)
+            .agg(F.sum(F.expr("sgn * coalesce(p, CAST(0 AS BIGINT))"))
+                 .alias(out)))
+        return df.join(corners, on=key_cols, how="inner")
+    return add
 
-    # exact cell histogram: one O(#cells) collect feeds both the
-    # adaptive ring (broadcast re-upload) and the SAT ring expansion
-    hist = pts.groupBy("cell").agg(F.count("*").alias("cellcnt")).collect()
-    counts = {int(r["cell"]): int(r["cellcnt"]) for r in hist}
-    cell_counts = spark.createDataFrame(
-        [(c, n) for c, n in counts.items()] or [(0, 0)],
-        "cell bigint, cellcnt bigint")
-    sat_df = spark.createDataFrame([(_sat_rows(counts),)],
-                                   "sat array<bigint>")
+
+def _ring_count_expr(sat_df: DataFrame):
+    """add_ring_count strategy (eager path): the driver-built SAT array
+    broadcast-cross-joined in, 4 element_at lookups inline."""
+    def add(df: DataFrame, key_cols: list[str], out: str) -> DataFrame:
+        return (df.crossJoin(F.broadcast(sat_df))
+                .withColumn(out, F.expr(_ring_count_sql(
+                    "sat", "_cxa", "_cxb", "_cya", "_cyb")))
+                .drop("sat"))
+    return add
+
+
+def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
+            keys: list[str], salt_map, bc_ring: bool, bc_cover: bool,
+            cell_counts: DataFrame, add_ring_count,
+            need, sampling_guard: str, sample_stage1: bool,
+            persist_intermediates: bool):
+    """Shared stage-1 / split / expand / stage-2 assembly.  The eager
+    and lazy paths differ only in what they inject here: the histogram
+    source (collected vs lazy agg), the SAT lookup strategy (driver
+    array vs prefix-grid join), the `need` threshold (literal vs
+    least(k, total) column), whether stage-1 sampling is compiled in,
+    and whether intermediates persist.  Returns (result, persisted)."""
+    persisted = []
+    dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
 
     qmeta = _with_ring_bounds(queries, cell_counts, k)
     ring = _ring(qmeta)
-    if plan is not None:
-        ring = (ring.join(m.select("cell", "nsplits"), on="cell",
+    if salt_map is not None:
+        ring = (ring.join(salt_map.select("cell", "nsplits"), on="cell",
                           how="left")
                 .selectExpr("qid", "qx", "qy", "cell",
                             "explode(sequence(CAST(0 AS BIGINT), "
@@ -284,30 +268,20 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     wpre = Window.partitionBy(*keys, "qid").orderBy(
         "dist2", "doc_key")
 
-    # stage 1 samples very dense cells at 1/KNN_SAMPLE_MOD: the sampled
-    # kth distance is still a valid upper bound (fewer points -> larger
-    # kth), and no query whose ring touches a sampled cell is ever
-    # marked done — stage 2 redoes it exactly against the FULL data.
-    # This caps stage-1 sort volume per cell instead of letting it grow
-    # with density (the filter runs on the cached cells, so the
-    # (cell, salt) partitioning is preserved and both windows stay
-    # exchange-free).
-    # Density-adaptive rate: a cell of count c >= dense_thresh keeps
-    # ~sqrt(3k*c) points (rate 1/ceil(sqrt(c/3k))), which balances
-    # stage-1 candidate volume against stage-2 bound-radius survivors —
-    # both then grow as sqrt(k*c) instead of c (a fixed rate still let
-    # hot cells dominate at 100x density).
-    # Short-circuit (decided from the driver-side histogram, free): when
-    # NO cell crosses the threshold stage 1 already sees the full data,
-    # so the histogram join + hash filter would keep every row — skip
-    # them, and the ring_sum sampling guard on `done` drops too.
-    dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
-    any_dense = any(c >= dense_thresh for c in counts.values())
-    if any_dense:
+    # stage 1 samples very dense cells: the sampled kth distance is
+    # still a valid upper bound (fewer points -> larger kth), and no
+    # query whose ring touches a sampled cell is ever marked done —
+    # stage 2 redoes it exactly against the FULL data.  The density-
+    # adaptive rate 1/ceil(sqrt(c/3k)) balances stage-1 candidate
+    # volume against stage-2 bound-radius survivors (both grow as
+    # sqrt(k*c) instead of c).  The filter runs on the cached cells, so
+    # (cell, salt) partitioning is preserved and the windows stay
+    # exchange-free.
+    if sample_stage1:
         pts1 = (pts.join(F.broadcast(cell_counts), on="cell", how="left")
                 .selectExpr(
                     "cell", "doc_key", "mx", "my",
-                    *(["salt"] if plan is not None else []),
+                    *(["salt"] if len(keys) > 1 else []),
                     f"CASE WHEN coalesce(cellcnt, 0) < {dense_thresh} "
                     "THEN CAST(1 AS BIGINT) ELSE CAST(ceil(sqrt("
                     f"CAST(coalesce(cellcnt, 0) AS DOUBLE) / {3.0 * k}"
@@ -328,28 +302,29 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
              .where(F.col("prnk") <= k)
              .drop("prnk")
              .withColumn("rnk", F.row_number().over(w))
-             .where(F.col("rnk") <= k)
-             .persist())
+             .where(F.col("rnk") <= k))
+    if persist_intermediates:
+        cand1 = cand1.persist()
+        persisted.append(cand1)
 
     # left join keeps queries whose whole ring is empty (cnt=0);
     # ring_sum (true counts via SAT) detects rings touching sampled
     # cells: sum >= dense_thresh is conservative (sum >= max)
     agg = cand1.groupBy("qid").agg(F.count("*").alias("cnt"),
                                    F.max("dist2").alias("kth2"))
-    stats = (qmeta.crossJoin(F.broadcast(sat_df))
-             .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
-                         _ring_count_sql("sat", "_cxa", "_cxb",
-                                         "_cya", "_cyb") + " AS ring_sum",
-                         "ring_x0", "ring_x1", "ring_y0", "ring_y1")
+    stats = (add_ring_count(qmeta, ["qid"], "ring_sum")
+             .select("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
+                     "ring_sum",
+                     "ring_x0", "ring_x1", "ring_y0", "ring_y1")
              .join(agg, on="qid", how="left")
-             .fillna({"cnt": 0})
-             .persist())
+             .fillna({"cnt": 0}))
+    if persist_intermediates:
+        stats = stats.persist()
+        persisted.append(stats)
 
     # filled queries: exact kth bound from the ring top-k; done only
     # when the ring was complete (no sampled cell) AND the kth-radius
     # box sits inside the ring
-    sampling_guard = (f"ring_sum < {dense_thresh} AND " if any_dense
-                      else "")
     filled = (stats.where(F.col("cnt") >= k)
               .selectExpr(
                   "*",
@@ -362,24 +337,21 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
             .select("qid", "doc_key", "dist2", "rnk"))
 
     # underfilled queries (< k in the ring): SAT ring expansion — the
-    # smallest power-of-two cell radius whose box holds >= k points (or
-    # all points, when the table itself has < k rows); distance to that
-    # box's far corner (+1 milli guard) is an exact kth upper bound
-    total = sum(counts.values())
-    need = min(k, total) if total else 0
+    # smallest power-of-two cell radius whose box holds >= need points;
+    # distance to that box's far corner (+1 milli guard) is an exact
+    # kth upper bound
     under = stats.where(F.col("cnt") < k)
     radii = ", ".join(str(r) for r in _EXPAND_RADII)
-    exp = (under.crossJoin(F.broadcast(sat_df))
-           .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx", "_cy",
-                       "sat", f"explode(array({radii})) AS _r")
-           .selectExpr("qid", "qmx", "qmy", "qx", "qy", "sat", "_r",
-                       "greatest(_cx - _r, 0) AS _cxa",
-                       f"least(_cx + _r, {C.CELL_CX - 1}) AS _cxb",
-                       "greatest(_cy - _r, 0) AS _cya",
-                       f"least(_cy + _r, {C.CELL_CY - 1}) AS _cyb")
-           .withColumn("_rc", F.expr(_ring_count_sql(
-               "sat", "_cxa", "_cxb", "_cya", "_cyb")))
-           .where(F.col("_rc") >= F.lit(need))
+    exp_base = (under
+                .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx",
+                            "_cy", f"explode(array({radii})) AS _r")
+                .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_r",
+                            "greatest(_cx - _r, 0) AS _cxa",
+                            f"least(_cx + _r, {C.CELL_CX - 1}) AS _cxb",
+                            "greatest(_cy - _r, 0) AS _cya",
+                            f"least(_cy + _r, {C.CELL_CY - 1}) AS _cyb"))
+    exp = (add_ring_count(exp_base, ["qid", "_r"], "_rc")
+           .where(F.col("_rc") >= need)
            .withColumn("_pick", F.row_number().over(
                Window.partitionBy("qid").orderBy("_r")))
            .where(F.col("_pick") == 1)
@@ -406,15 +378,14 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
 
     # stage 2: exact radius re-join for boundary + underfilled queries
     bq = (filled.where("NOT done")
-          .select("qid", "qmx", "qmy", "qx", "qy", "rm", "kth2"))
-    if need:
-        bq = bq.unionByName(exp)
-    bq = bq.selectExpr(
-        "qid", "qx", "qy", "kth2",
-        "greatest(0, qmx - rm) AS xmin",
-        f"least({C.WORLD_MX - 1}, qmx + rm) AS xmax",
-        "greatest(0, qmy - rm) AS ymin",
-        f"least({C.WORLD_MY - 1}, qmy + rm) AS ymax")
+          .select("qid", "qmx", "qmy", "qx", "qy", "rm", "kth2")
+          .unionByName(exp)
+          .selectExpr(
+              "qid", "qx", "qy", "kth2",
+              "greatest(0, qmx - rm) AS xmin",
+              f"least({C.WORLD_MX - 1}, qmx + rm) AS xmax",
+              "greatest(0, qmy - rm) AS ymin",
+              f"least({C.WORLD_MY - 1}, qmy + rm) AS ymax"))
     cover = cover_cells(bq)
     if bc_cover:
         cover = F.broadcast(cover)
@@ -430,10 +401,141 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
                 .where(F.col("rnk") <= k)
                 .select("qid", "doc_key", "dist2", "rnk"))
 
-    result = done.unionByName(boundary)
-    if materialize:
-        result = result.persist()
-        result.count()
-        for df in (pts, cand1, stats):
-            df.unpersist()
+    return done.unionByName(boundary), persisted
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
+             broadcast_queries: bool | None = None,
+             pred: Column | str | None = None,
+             plan=None,
+             materialize: bool = False) -> DataFrame:
+    """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
+    points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
+    (dist2, doc_key).
+
+    pred: optional extra data-side predicate (knnFilter semantics, F6).
+    plan: optional SpatialPartitioning -> salt hot cells in stage 1 (J9).
+    broadcast_queries: None = auto size-gate per join (ring fan-out 9,
+    stage-2 cover fan-out ~64) against the session broadcast threshold,
+    from the optimizer's plan-size estimate — no job runs.  True/False
+    force.
+
+    materialize=False (library default): plan construction is
+    COMPLETELY lazy — no job runs, nothing is persisted, the returned
+    DataFrame is a pure composable plan.  The cell histogram and the
+    SAT become part of the plan (a lazy per-cell aggregate + a dense
+    O(#cells) prefix grid joined at 4 corners per lookup), the stage-1
+    density sampling is always compiled in (its filter is the identity
+    for sparse cells), and the `done` guard always carries the
+    conservative ring_sum test.  Each action recomputes the input
+    lineage — callers who iterate should persist their input or pass
+    materialize=True.
+
+    materialize=True (driver/bench path): the slim point projection is
+    cached (SERIALIZED level — deserialized object-graph caching was a
+    measured GC death spiral near the storage pool at 263M rows), the
+    histogram is collected once (O(#cells)) to build the SAT as a
+    driver array and to short-circuit sampling when no cell is dense,
+    the result is persisted and counted, and every intermediate is
+    unpersisted before returning."""
+    spark = points.sparkSession
+    if broadcast_queries is None:
+        from ..broadcast import plan_size_bytes, threshold_bytes
+        thr = threshold_bytes(spark)
+        est = plan_size_bytes(queries) if thr > 0 else 1 << 62
+        bc_ring = thr > 0 and est * 9 <= thr
+        bc_cover = thr > 0 and est * 64 <= thr
+    else:
+        bc_ring = bc_cover = broadcast_queries
+    if pred is not None:
+        points = points.where(pred if isinstance(pred, Column)
+                              else F.expr(pred))
+
+    # slim projection: feeds the cell histogram, stage 1 and stage 2
+    # (the spans column must not ride downstream).  It carries
+    # (cell, doc_key, mx:int, my:int) — 24 bytes/row instead of the 40+
+    # of a (cell, doc_key, x:double, y:double, salt) row: the doubles
+    # are recomputed bit-exactly from the milli ints (_X/_Y) and the
+    # salt column exists only when a skew plan asks for it.  At 10^12
+    # rows this is the join's one row-count-sized data stream — its
+    # width IS the memory-bus bill.
+    pts = with_cell(points).select(
+        "cell", "doc_key",
+        F.col("mx").cast("int").alias("mx"),
+        F.col("my").cast("int").alias("my"))
+    keys = ["cell"] if plan is None else ["cell", "salt"]
+    salt_map = None
+    if plan is not None:
+        salt_map = F.broadcast(plan.to_df(spark))
+        pts = (pts.join(salt_map.select("cell", "nsplits"),
+                        on="cell", how="left")
+               .selectExpr(
+                   "cell", "doc_key", "mx", "my",
+                   "pmod(xxhash64(doc_key), "
+                   "CAST(coalesce(nsplits, 1) AS BIGINT)) AS salt"))
+    # Repartition by (cell, salt) to the session shuffle width BEFORE
+    # stage 1: (a) partition count then scales with configuration, not
+    # core count — an input cached in defaultParallelism partitions made
+    # each stage-1 map task sort (candidates/cores) rows and OOM at 24x
+    # input on one executor; (b) hash(cell, salt) satisfies the
+    # pre-rank window's clustering, so both window sorts run in place
+    # with NO exchange of the candidate stream — the only full-data
+    # shuffle in the whole join is this one slim-projection shuffle.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pts = pts.repartition(n_parts, *keys)
+    dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
+
+    if not materialize:
+        # fully lazy: histogram, total, and SAT are all plan nodes
+        cell_counts = pts.groupBy("cell").agg(
+            F.count("*").alias("cellcnt"))
+        prefix = _dense_prefix(spark, cell_counts)
+        total_df = cell_counts.agg(
+            F.sum("cellcnt").alias("_total")).fillna({"_total": 0})
+        # `need` is a COLUMN here (least(k, total)): the 1-row total
+        # rides onto the expansion rows via a broadcast cross join
+        # planted by the strategy wrapper below
+        base_add = _ring_count_join(prefix)
+
+        def add_with_total(df, key_cols, out):
+            df2 = base_add(df, key_cols, out)
+            if out == "_rc":
+                df2 = df2.crossJoin(F.broadcast(total_df))
+            return df2
+
+        need = F.least(F.lit(k).cast("long"), F.col("_total"))
+        result, _ = _stages(
+            spark, pts, queries, k, keys, salt_map, bc_ring, bc_cover,
+            cell_counts, add_with_total, need,
+            sampling_guard=f"ring_sum < {dense_thresh} AND ",
+            sample_stage1=True, persist_intermediates=False)
+        return result
+
+    # eager path: SER cache (see docstring), one O(#cells) collect
+    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    hist = pts.groupBy("cell").agg(F.count("*").alias("cellcnt")).collect()
+    counts = {int(r["cell"]): int(r["cellcnt"]) for r in hist}
+    cell_counts = spark.createDataFrame(
+        [(c, n) for c, n in counts.items()] or [(0, 0)],
+        "cell bigint, cellcnt bigint")
+    sat_df = spark.createDataFrame([(_sat_rows(counts),)],
+                                   "sat array<bigint>")
+    total = sum(counts.values())
+    need = F.lit(min(k, total) if total else 0)
+    # short-circuit (free, from the driver-side histogram): when NO
+    # cell crosses the threshold stage 1 already sees the full data, so
+    # the histogram join + hash filter would keep every row — skip
+    # them, and the ring_sum sampling guard on `done` drops too.
+    any_dense = any(c >= dense_thresh for c in counts.values())
+    result, persisted = _stages(
+        spark, pts, queries, k, keys, salt_map, bc_ring, bc_cover,
+        cell_counts, _ring_count_expr(sat_df), need,
+        sampling_guard=(f"ring_sum < {dense_thresh} AND "
+                        if any_dense else ""),
+        sample_stage1=any_dense, persist_intermediates=True)
+    result = result.persist()
+    result.count()
+    pts.unpersist()
+    for df in persisted:
+        df.unpersist()
     return result

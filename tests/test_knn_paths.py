@@ -95,3 +95,31 @@ def test_knn_pred_matches_filtered_brute_force(spark, sf_smoke):
     pred = "lower(text) LIKE '%flag r%'"
     _assert_same(knn_join(pts, qs, k=5, pred=pred),
                  _brute(pts, qs, k=5, pred=F.expr(pred)))
+
+
+def test_lazy_construction_runs_no_jobs(spark, sf_smoke):
+    """materialize=False must be a pure plan: no Spark job (histogram,
+    count, or otherwise) during knn_join() itself, and nothing left
+    persisted (the round-3 lazy path collected the histogram and leaked
+    three cached DataFrames per call)."""
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    jsc = spark.sparkContext._jsc.sc()
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    cached_before = jsc.getPersistentRDDs().size()
+    df = knn_join(pts, qs, k=10, materialize=False)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, f"lazy knn_join ran jobs {after - before}"
+    # plan inspection is also job-free
+    df._jdf.queryExecution().executedPlan().toString()
+    assert set(tracker.getJobIdsForGroup(None)) == before
+    # no hidden cache state left behind
+    assert jsc.getPersistentRDDs().size() == cached_before
+
+
+def test_lazy_equals_eager(spark, sf_smoke):
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    _assert_same(knn_join(pts, qs, k=10, materialize=False),
+                 knn_join(pts, qs, k=10, materialize=True))
