@@ -199,10 +199,12 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     qs = rep_ids(datagen.knn_queries(spark, sf_dir), "qid")
 
     # Warm codegen/JIT for every operator shape on the un-replicated
-    # input so the measured region contains only real work.
+    # input so the measured region contains only real work.  The warmup
+    # must use the same salt as the measured run (different plan shape).
+    knn_salt = int(os.environ.get("SPARK_GRAFT_KNN_SALT", "8")) or None
     base = with_geometry(datagen.documents_spans(spark, sf_dir))
     pip_join_count(base, polys).count()
-    knn_join(base, qs, k=10, materialize=True).count()
+    knn_join(base, qs, k=10, salt=knn_salt, materialize=True).count()
 
     # The queries run SEQUENTIALLY by default (SPARK_GRAFT_SCALE_CONC=1
     # restores the round-2 concurrent-threads protocol).  Measured this
@@ -224,10 +226,26 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     ops = os.environ.get("SPARK_GRAFT_SCALE_OPS", "pip,knn").split(",")
     from spatialgraft.ops.range import range_join_count
     boxes = rep_ids(datagen.query_boxes(spark, sf_dir), "box_id")
+    # salt=8: the replicated input makes every hotspot cell hold ~2M
+    # rows, and stage-2's per-cell probe work (cell rows x cover rows)
+    # then lands in ONE task per hot cell — measured as a 30 s straggler
+    # holding 4N utilization at 40% while N hides it in its 8 task
+    # waves.  The uniform salt knob (J9 without a stats pass) splits
+    # each cell's probe 8 ways on both join stages; results are
+    # bit-identical (tests/test_knn_paths.py::test_uniform_salt_identical).
+    # cache_input=False: the gate's input lineage is a cheap JVM explode
+    # of a tiny base, but 1.05B rows x 40B of UnsafeRow cache was the
+    # single largest stage of the r4 gate (57% of the N wall, 212 GC
+    # core-s, 2.4x CPU inflation at 4N from bus stalls).  Re-running
+    # the ~5 GB compressed shuffle per job is the cheaper side; a real
+    # deployment with expensive extraction keeps the default (True).
+    knn_cache = os.environ.get("SPARK_GRAFT_KNN_CACHE", "0") == "1"
     all_thunks = {
         "pip": lambda: pip_join_count(points(), polys).count(),
         "knn": lambda: knn_join(points(), qs, k=10,
                                 broadcast_queries=False,
+                                salt=knn_salt,
+                                cache_input=knn_cache,
                                 materialize=True).count(),
         # range is memory-bandwidth-bound (35-billion-pair probe
         # stream); kept out of the default gate workload (see
@@ -258,6 +276,9 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(len(thunks) * n_docs / wall, 1),
             "n_docs": int(n_docs), "ops": ops, "qrep": qrep,
+            "knn_salt": knn_salt, "knn_cache_input": knn_cache,
+            "rdd_compress": os.environ.get("SPARK_GRAFT_RDD_COMPRESS",
+                                           "false"),
             "op_walls": op_walls or None,
             # executor shuffle dirs: local-cluster executors take
             # SPARK_LOCAL_DIRS (session.get_spark sets it to the tmpfs

@@ -7,30 +7,28 @@ huge ones; False forces a shuffled join.  The default (None) size-gates:
 the optimizer's own size estimate of the PRE-explode query side
 (`optimizedPlan().stats().sizeInBytes` — a driver-side plan statistic,
 NO job is run), multiplied by the operator's bounded fan-out (ring <= 9
-cells, box cover <= ~64 at the join cell level) and a width correction,
-compared against the session's spark.sql.autoBroadcastJoinThreshold.
-The decision then matches what a user would pick knowing the size — no
-flag knowledge required (VERDICT r2 item 4).
+cells, box cover <= ~64 at the join cell level), compared against the
+session's spark.sql.autoBroadcastJoinThreshold.  The decision then
+matches what a user would pick knowing the size — no flag knowledge
+required (VERDICT r2 item 4).
 
 Why plan stats and not a count: decide() runs at PLAN CONSTRUCTION time
 on every range/pip/intersects/kNN call, and an eager side.count() there
 re-executes the side's full lineage per call (measured ~0.2-0.5 s per
 query at sf0.1 — a fixed driver tax that never amortizes; ADVICE r3).
 sizeInBytes is the same estimate Catalyst itself uses for its own
-broadcast planning: file-size-derived at the scan, scaled through
-projections/filters — conservative (over-estimating) in the same
-direction.  When the estimate is garbage (huge BigInt for a
-multiply-exploded plan) the answer degrades to False = shuffle, the
-scale-safe side."""
+broadcast planning.  It is NOT a strict upper bound on the exploded
+in-memory build: a parquet scan's estimate derives from compressed
+file bytes, so dictionary/RLE-heavy columns can expand past it — the
+fanout multiplier is the margin that absorbs that expansion (the
+multicast explode itself is what the threshold must survive, and the
+fanout over-counts it for typical selective covers).  When the
+estimate is garbage (huge BigInt for a multiply-exploded plan) the
+answer degrades to False = shuffle, the scale-safe side."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-
-# conservative serialized width multiplier: a multicast row after the
-# cell explode carries ids + milli bbox + ring/cover bookkeeping (~10
-# numeric columns, ~96B serialized) relative to the scan-level estimate
-ROW_BYTES = 96
 
 _UNITS = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
           "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
@@ -56,12 +54,6 @@ def plan_size_bytes(side: DataFrame) -> int:
                    .stats().sizeInBytes())
     except Exception:
         return 1 << 62
-
-
-def estimated_rows(side: DataFrame, row_bytes: int = ROW_BYTES) -> int:
-    """Row-count proxy from the plan size estimate (used by kNN to gate
-    ring vs cover fan-outs separately)."""
-    return max(1, plan_size_bytes(side) // row_bytes)
 
 
 def decide(side: DataFrame, flag: bool | None, fanout: int) -> bool:

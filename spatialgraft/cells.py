@@ -30,15 +30,31 @@ def with_cell(df: DataFrame, mx: str = "mx", my: str = "my",
     return df.withColumn(out, cell_expr(mx, my))
 
 
+# Morton bit widths derived from the grid config: smallest widths that
+# hold cell_x in [0, CX) / cell_y in [0, CY).  zorder_expr and
+# zorder_int share these, so a CELL_CX/CELL_CY change can never skew
+# the JVM-side packing against the driver-side one.
+CX_BITS = (C.CELL_CX - 1).bit_length()
+CY_BITS = (C.CELL_CY - 1).bit_length()
+
+
 def zorder_expr(mx: str = "mx", my: str = "my") -> Column:
-    """Bit-interleaved (Morton) key for locality-preserving sorts."""
+    """Bit-interleaved (Morton) key for locality-preserving sorts.
+    Bit layout is identical to zorder_int (x bits at odd positions,
+    y at even) — asserted equal in tests/test_cells.py."""
     cx = f"(({mx} * {C.CELL_CX}) div {C.WORLD_MX})"
     cy = f"(({my} * {C.CELL_CY}) div {C.WORLD_MY})"
+    # each term MUST be parenthesized: Spark SQL gives binary `+` HIGHER
+    # precedence than `<<`, so `a << 1 + b << 0` parses as
+    # `(a << (1 + b)) << 0` — the unparenthesized join silently produced
+    # a non-Morton key (caught by tests/test_cells.py parity vs
+    # zorder_int; harmless before only because zorder_expr drives sort
+    # locality, never a join key)
     parts = []
-    for i in range(8):  # CELL_CX=256 -> 8 bits; y uses 7
-        parts.append(f"((({cx}) >> {i}) & 1) << {2 * i + 1}")
-        if i < 7:
-            parts.append(f"((({cy}) >> {i}) & 1) << {2 * i}")
+    for i in range(CX_BITS):
+        parts.append(f"(((({cx}) >> {i}) & 1) << {2 * i + 1})")
+    for i in range(CY_BITS):
+        parts.append(f"(((({cy}) >> {i}) & 1) << {2 * i})")
     return F.expr(" + ".join(parts))
 
 
@@ -63,7 +79,8 @@ def cover_cells(boxes: DataFrame,
             .drop("_cx", "_cy"))
 
 
-def zorder_int(cell: int, cx_bits: int = 8, cy_bits: int = 7) -> int:
+def zorder_int(cell: int, cx_bits: int = CX_BITS,
+               cy_bits: int = CY_BITS) -> int:
     """Driver-side Morton key of a cell id (for partition packing)."""
     cxv, cyv = divmod(cell, C.CELL_CY)
     z = 0

@@ -238,25 +238,51 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
             keys: list[str], salt_map, bc_ring: bool, bc_cover: bool,
             cell_counts: DataFrame, add_ring_count,
             need, sampling_guard: str, sample_stage1: bool,
-            persist_intermediates: bool):
+            persist_intermediates: bool,
+            prune_cells=None, expand: bool = True,
+            usalt: int | None = None):
     """Shared stage-1 / split / expand / stage-2 assembly.  The eager
     and lazy paths differ only in what they inject here: the histogram
     source (collected vs lazy agg), the SAT lookup strategy (driver
     array vs prefix-grid join), the `need` threshold (literal vs
     least(k, total) column), whether stage-1 sampling is compiled in,
-    and whether intermediates persist.  Returns (result, persisted)."""
+    and whether intermediates persist.  Returns (result, persisted).
+
+    prune_cells: sFilter presence pruning of the stage-2 cover (X6
+    wired into J7, VERDICT r4 item 6) — multicast (query, cell) rows
+    whose cell holds no data are dropped BEFORE the stage-2 shuffle
+    (they can never match the inner join; results are identical).  A
+    set[int] (eager: the driver already holds the exact histogram, so
+    the prune is free) or a DataFrame with a `cell` column (lazy: an
+    O(#cells) broadcast semi-join).  expand=False skips building the
+    SAT ring-expansion subtree — only valid when the caller KNOWS no
+    query can underfill usefully (eager, total == 0).  usalt: uniform
+    salt modulus when the salt column came from knn_join(salt=N) rather
+    than a per-cell plan."""
     persisted = []
     dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
 
-    qmeta = _with_ring_bounds(queries, cell_counts, k)
-    ring = _ring(qmeta)
-    if salt_map is not None:
-        ring = (ring.join(salt_map.select("cell", "nsplits"), on="cell",
-                          how="left")
-                .selectExpr("qid", "qx", "qy", "cell",
+    def salt_explode(df: DataFrame, cols: list[str]) -> DataFrame:
+        """Replicate multicast rows across the salt slices of their
+        cell, matching the data side's pmod(xxhash64(doc_key), n)
+        assignment — every (point, query) pair meets on exactly one
+        (cell, salt) key."""
+        if usalt is not None:
+            return df.selectExpr(
+                *cols, "cell",
+                f"explode(sequence(CAST(0 AS BIGINT), "
+                f"CAST({usalt - 1} AS BIGINT))) AS salt")
+        return (df.join(salt_map.select("cell", "nsplits"), on="cell",
+                        how="left")
+                .selectExpr(*cols, "cell",
                             "explode(sequence(CAST(0 AS BIGINT), "
                             "CAST(coalesce(nsplits, 1) - 1 AS BIGINT)"
                             ")) AS salt"))
+
+    qmeta = _with_ring_bounds(queries, cell_counts, k)
+    ring = _ring(qmeta)
+    if len(keys) > 1:
+        ring = salt_explode(ring, ["qid", "qx", "qy"])
     if bc_ring:
         ring = F.broadcast(ring)
 
@@ -339,10 +365,15 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
     # underfilled queries (< k in the ring): SAT ring expansion — the
     # smallest power-of-two cell radius whose box holds >= need points;
     # distance to that box's far corner (+1 milli guard) is an exact
-    # kth upper bound
-    under = stats.where(F.col("cnt") < k)
-    radii = ", ".join(str(r) for r in _EXPAND_RADII)
-    exp_base = (under
+    # kth upper bound.  Skipped when the caller knows the table is
+    # empty (expand=False): _rc >= 0 would pick radius 1 for every
+    # query and union a useless stage-2 branch.
+    if not expand:
+        exp = None
+    else:
+        under = stats.where(F.col("cnt") < k)
+        radii = ", ".join(str(r) for r in _EXPAND_RADII)
+        exp_base = (under
                 .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx",
                             "_cy", f"explode(array({radii})) AS _r")
                 .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_r",
@@ -350,7 +381,7 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
                             f"least(_cx + _r, {C.CELL_CX - 1}) AS _cxb",
                             "greatest(_cy - _r, 0) AS _cya",
                             f"least(_cy + _r, {C.CELL_CY - 1}) AS _cyb"))
-    exp = (add_ring_count(exp_base, ["qid", "_r"], "_rc")
+        exp = (add_ring_count(exp_base, ["qid", "_r"], "_rc")
            .where(F.col("_rc") >= need)
            .withColumn("_pick", F.row_number().over(
                Window.partitionBy("qid").orderBy("_r")))
@@ -377,19 +408,36 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
                "CAST(rm * rm AS DOUBLE) / 1.0E6 AS kth2"))
 
     # stage 2: exact radius re-join for boundary + underfilled queries
-    bq = (filled.where("NOT done")
-          .select("qid", "qmx", "qmy", "qx", "qy", "rm", "kth2")
-          .unionByName(exp)
-          .selectExpr(
-              "qid", "qx", "qy", "kth2",
-              "greatest(0, qmx - rm) AS xmin",
-              f"least({C.WORLD_MX - 1}, qmx + rm) AS xmax",
-              "greatest(0, qmy - rm) AS ymin",
-              f"least({C.WORLD_MY - 1}, qmy + rm) AS ymax"))
+    bq = filled.where("NOT done").select(
+        "qid", "qmx", "qmy", "qx", "qy", "rm", "kth2")
+    if expand:
+        bq = bq.unionByName(exp)
+    bq = bq.selectExpr(
+        "qid", "qx", "qy", "kth2",
+        "greatest(0, qmx - rm) AS xmin",
+        f"least({C.WORLD_MX - 1}, qmx + rm) AS xmax",
+        "greatest(0, qmy - rm) AS ymin",
+        f"least({C.WORLD_MY - 1}, qmy + rm) AS ymax")
     cover = cover_cells(bq)
+    if prune_cells is not None:
+        if isinstance(prune_cells, DataFrame):
+            cover = cover.join(
+                F.broadcast(prune_cells.select("cell")),
+                on="cell", how="left_semi")
+        else:
+            from ..sfilter import prune_cover
+            cover = prune_cover(cover, prune_cells)
+    if len(keys) > 1:
+        # stage 2 joins on (cell, salt) too: the probe work of a dense
+        # cell then spreads over its salt slices instead of landing in
+        # one task (the measured 4N straggler), and the pts side's
+        # (cell, salt) hash partitioning is reused with NO exchange
+        # (the old cell-only join forced a full re-shuffle of pts on
+        # the salted path)
+        cover = salt_explode(cover, ["qid", "qx", "qy", "kth2"])
     if bc_cover:
         cover = F.broadcast(cover)
-    boundary = (pts.join(cover, on="cell", how="inner")
+    boundary = (pts.join(cover, on=keys, how="inner")
                 .selectExpr(*keys, "qid", "doc_key", "kth2",
                             f"{_D2} AS dist2")
                 .where(F.col("dist2") <= F.col("kth2"))
@@ -408,13 +456,21 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
              broadcast_queries: bool | None = None,
              pred: Column | str | None = None,
              plan=None,
-             materialize: bool = False) -> DataFrame:
+             salt: int | None = None,
+             materialize: bool = False,
+             cache_input: bool = True) -> DataFrame:
     """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
     points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
     (dist2, doc_key).
 
     pred: optional extra data-side predicate (knnFilter semantics, F6).
     plan: optional SpatialPartitioning -> salt hot cells in stage 1 (J9).
+    salt: uniform salt modulus (ignored when a plan is given): every
+    cell splits into `salt` slices keyed by pmod(xxhash64(doc_key), salt)
+    and both join stages key on (cell, salt) — the plan-free skew knob
+    for dense inputs where one cell's probe work would otherwise land in
+    a single task (J9 without the stats pass a plan needs; the multicast
+    sides replicate x salt, which is why it is a knob, not the default).
     broadcast_queries: None = auto size-gate per join (ring fan-out 9,
     stage-2 cover fan-out ~64) against the session broadcast threshold,
     from the optimizer's plan-size estimate — no job runs.  True/False
@@ -437,7 +493,22 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     histogram is collected once (O(#cells)) to build the SAT as a
     driver array and to short-circuit sampling when no cell is dense,
     the result is persisted and counted, and every intermediate is
-    unpersisted before returning."""
+    unpersisted before returning.
+
+    cache_input (materialize=True only): False skips the slim-
+    projection cache.  The cache trades one extra synthesis+shuffle of
+    the input lineage (the histogram job and the result job each run
+    the map side once; stage 1 and stage 2 share one exchange inside
+    the result job via ReuseExchange) against building and twice
+    reading a serialized cache.  When the input lineage is CHEAP and
+    HUGE relative to executor memory — a replicated/exploded table, a
+    raw scan — the cache is the wrong side of that trade: at the x2304
+    gate (1.05B rows, 4 GiB executors) the cache-build stage alone was
+    57% of the N-level wall with 212 GC core-s and 2.4x CPU inflation
+    at 4N (memory-bus stalls), while the compressed shuffle it avoids
+    re-reading is ~5 GB.  When the lineage contains expensive work
+    (the Python span extraction at sf0.1 headline scale), keep the
+    default."""
     spark = points.sparkSession
     if broadcast_queries is None:
         from ..broadcast import plan_size_bytes, threshold_bytes
@@ -463,9 +534,11 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
         "cell", "doc_key",
         F.col("mx").cast("int").alias("mx"),
         F.col("my").cast("int").alias("my"))
-    keys = ["cell"] if plan is None else ["cell", "salt"]
+    keys = ["cell"]
     salt_map = None
+    usalt = None
     if plan is not None:
+        keys = ["cell", "salt"]
         salt_map = F.broadcast(plan.to_df(spark))
         pts = (pts.join(salt_map.select("cell", "nsplits"),
                         on="cell", how="left")
@@ -473,6 +546,12 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
                    "cell", "doc_key", "mx", "my",
                    "pmod(xxhash64(doc_key), "
                    "CAST(coalesce(nsplits, 1) AS BIGINT)) AS salt"))
+    elif salt is not None and salt > 1:
+        keys = ["cell", "salt"]
+        usalt = int(salt)
+        pts = pts.selectExpr(
+            "cell", "doc_key", "mx", "my",
+            f"pmod(xxhash64(doc_key), CAST({usalt} AS BIGINT)) AS salt")
     # Repartition by (cell, salt) to the session shuffle width BEFORE
     # stage 1: (a) partition count then scales with configuration, not
     # core count — an input cached in defaultParallelism partitions made
@@ -508,11 +587,16 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
             spark, pts, queries, k, keys, salt_map, bc_ring, bc_cover,
             cell_counts, add_with_total, need,
             sampling_guard=f"ring_sum < {dense_thresh} AND ",
-            sample_stage1=True, persist_intermediates=False)
+            sample_stage1=True, persist_intermediates=False,
+            prune_cells=cell_counts, usalt=usalt)
         return result
 
-    # eager path: SER cache (see docstring), one O(#cells) collect
-    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager path: SER cache (see docstring), one O(#cells) collect.
+    # Without the cache the histogram job still runs the same map +
+    # O(#cells) agg; the result job re-runs the map once and its two
+    # probes (stage 1, stage 2) share that one exchange (ReuseExchange).
+    if cache_input:
+        pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     hist = pts.groupBy("cell").agg(F.count("*").alias("cellcnt")).collect()
     counts = {int(r["cell"]): int(r["cellcnt"]) for r in hist}
     cell_counts = spark.createDataFrame(
@@ -532,10 +616,19 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
         cell_counts, _ring_count_expr(sat_df), need,
         sampling_guard=(f"ring_sum < {dense_thresh} AND "
                         if any_dense else ""),
-        sample_stage1=any_dense, persist_intermediates=True)
+        sample_stage1=any_dense, persist_intermediates=True,
+        # presence pruning drops cover rows in EMPTY cells, so its win
+        # is bounded by the empty fraction: on a dense grid (sf0.1 is
+        # ~70% occupied) the >1024-cell broadcast semi-join is pure
+        # overhead per call — prune only when at least half the grid is
+        # empty (the sparse regime X6 exists for)
+        prune_cells=(set(counts) if len(counts) < C.N_CELLS // 2
+                     else None),
+        expand=total > 0, usalt=usalt)
     result = result.persist()
     result.count()
-    pts.unpersist()
+    if cache_input:
+        pts.unpersist()
     for df in persisted:
         df.unpersist()
     return result

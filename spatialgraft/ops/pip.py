@@ -56,21 +56,33 @@ def pip_join_count(points: DataFrame, polys: DataFrame,
 
 
 def pip_join_concave(points: DataFrame, polys: DataFrame,
-                     broadcast_polys: bool | None = None) -> DataFrame:
+                     broadcast_polys: bool | None = None,
+                     bbox_prefilter: bool = True) -> DataFrame:
     """(poly_id, doc_key) pairs for ARBITRARY simple polygons given as
     vertex arrays (poly_id, vxs, vys, xmin, ymin, xmax, ymax) — exact
     int64 even-odd ray-cast, border-inclusive, concave-safe.
 
     Same cover/equi-join/refine shape as the convex path; only the
-    refine predicate differs (O(#vertices) per candidate pair)."""
+    refine predicate differs (O(#vertices) per candidate pair).  A
+    cheap codegen bbox conjunct runs BEFORE the interpreted ray-cast
+    HOF: cells are coarser than bboxes, so most cover candidates
+    short-circuit on four int compares instead of paying the
+    O(#vertices) edge walk — the same free pre-filter the convex path
+    gets from its first failing half-plane test.  bbox_prefilter=False
+    exists only to measure that effect (results are identical: the
+    bbox is a superset of the polygon, so the conjunct never drops a
+    contained point)."""
     pts = with_cell(points)
     bc = _decide_broadcast(polys, broadcast_polys, fanout=64)
     cover = cover_cells(polys)
     if bc:
         cover = F.broadcast(cover)
+    j = pts.join(cover, on="cell", how="inner")
+    if bbox_prefilter:
+        j = j.where(F.expr(
+            "mx >= xmin AND mx <= xmax AND my >= ymin AND my <= ymax"))
     pred = pip_concave_predicate("mx", "my", "vxs", "vys", "spark")
-    return (pts.join(cover, on="cell", how="inner")
-            .where(F.expr(pred))
+    return (j.where(F.expr(pred))
             .select("poly_id", "doc_key"))
 
 

@@ -59,18 +59,22 @@ def get_spark(app: str = "spatialgraft",
         # executor_local_dirs record read back from the env would lie —
         # warn instead of setting it.
         from pyspark import SparkContext
-        if SparkContext._gateway is not None:
+        if "SPARK_LOCAL_DIRS" in os.environ:
+            # exported before any JVM forked -> workers/executors
+            # inherit it whether or not a driver JVM already exists;
+            # nothing to do and nothing to warn about
+            pass
+        elif SparkContext._gateway is not None:
             import warnings
             warnings.warn(
                 "get_spark(local-cluster): a driver JVM already exists "
-                "in this process; SPARK_LOCAL_DIRS cannot be exported "
-                "to executors now — executor shuffle dirs will be the "
-                "Spark default (/tmp), not "
-                f"{os.environ.get('SPARK_LOCAL_DIRS', local_dir)!r}. "
+                "in this process and SPARK_LOCAL_DIRS was never set; "
+                "it cannot reach executors now — executor shuffle dirs "
+                f"will be the Spark default (/tmp), not {local_dir!r}. "
                 "Run scaling levels in a fresh process.",
                 stacklevel=2)
         else:
-            os.environ.setdefault("SPARK_LOCAL_DIRS", local_dir)
+            os.environ["SPARK_LOCAL_DIRS"] = local_dir
     builder = SparkSession.builder.master(master)
     # local-cluster[n,c,mem] only caps what the WORKER may allocate; the
     # executor JVM heap itself comes from spark.executor.memory (default
@@ -87,6 +91,14 @@ def get_spark(app: str = "spatialgraft",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Serialized persisted blocks stay UNCOMPRESSED (the Spark
+        # default): lz4-compressing the kNN slim cache was A/B-measured
+        # at the x2304 gate (bench_records/r5, round 5) and LOST — the
+        # 4N knn wall went 170.8 -> 215.1 s; the compression ALU cost
+        # exceeds the bus traffic it saves on this box.  Kept as an
+        # env toggle for re-measurement on other hardware.
+        .config("spark.rdd.compress",
+                os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "false"))
         # spill-merge read-ahead allocates a 1 MiB heap buffer PER spill
         # file; a heavily-spilled sort (thousands of files x 8 tasks)
         # then OOMs in getSortedIterator before reading a single row.

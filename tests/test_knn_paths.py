@@ -61,6 +61,20 @@ def test_salted_knn_identical_and_nonvacuous(spark, sf_correct):
                  knn_join(pts, qs, k=10))
 
 
+def test_uniform_salt_identical(spark, sf_correct):
+    """knn_join(salt=N) — the plan-free skew knob — must be bit-exact
+    against the unsalted join in BOTH materialize modes (stage 1 AND
+    stage 2 key on (cell, salt) when salted)."""
+    pts = with_geometry(datagen.documents_spans(spark, sf_correct))
+    qs = datagen.knn_queries(spark, sf_correct)
+    base = knn_join(pts, qs, k=10)
+    _assert_same(knn_join(pts, qs, k=10, salt=8), base)
+    _assert_same(knn_join(pts, qs, k=10, salt=8, materialize=True), base)
+    # the uncached eager path (gate protocol) must also be bit-exact
+    _assert_same(knn_join(pts, qs, k=10, salt=8, materialize=True,
+                          cache_input=False), base)
+
+
 def test_sampling_short_circuit_identical(spark, sf_smoke, monkeypatch):
     # the same input answered through both stage-1 regimes — sampling
     # forced on (threshold 0 via KNN_SAMPLE_MOD=1 -> every cell with
@@ -116,6 +130,25 @@ def test_lazy_construction_runs_no_jobs(spark, sf_smoke):
     assert set(tracker.getJobIdsForGroup(None)) == before
     # no hidden cache state left behind
     assert jsc.getPersistentRDDs().size() == cached_before
+
+
+def test_stage2_cover_prune_wired(spark, sf_smoke):
+    """VERDICT r4 item 6: the stage-2 cover is presence-pruned (X6 ->
+    J7).  Wiring check: the lazy plan carries the left-semi prune; the
+    quantitative headroom on the sparse sf0.001 fixture is large (most
+    of the 32k cells hold no data, so most world-cover multicast rows
+    die before the stage-2 shuffle).  Exactness of the pruned path is
+    covered by the brute-force twins above, which all run through it."""
+    from spatialgraft import config as C
+    from spatialgraft.sfilter import presence_cells
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    plan = (knn_join(pts, qs, k=25, materialize=False)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "LeftSemi" in plan, "stage-2 cover prune not in lazy plan"
+    present = presence_cells(pts)
+    assert len(present) < 0.2 * C.N_CELLS, \
+        "sf0.001 fixture unexpectedly dense; prune test is vacuous"
 
 
 def test_lazy_equals_eager(spark, sf_smoke):

@@ -98,6 +98,35 @@ def test_prune_cover_semi_join_path(spark):
     assert "LeftSemi" in plan
 
 
+def test_multiget_broadcast_and_shuffle_paths_identical(spark, sf_smoke):
+    """VERDICT r4 item 3: multiget now routes through the broadcast
+    auto-gate — both the broadcast and shuffled-join resolutions must
+    return identical rows, and the forced-shuffle plan must really
+    contain no broadcast of the key side."""
+    from spatialgraft import datagen
+    from spatialgraft.extract import with_geometry
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    keys = (pts.where(F.col("doc_key") % 7 == 0)
+            .selectExpr("mx AS kmx", "my AS kmy").distinct())
+
+    def rows(df):
+        return sorted((r["doc_key"], r["mx"], r["my"])
+                      for r in df.collect())
+
+    bc = rows(misc.multiget(pts, keys, broadcast_keys=True))
+    sh = rows(misc.multiget(pts, keys, broadcast_keys=False))
+    auto = rows(misc.multiget(pts, keys))
+    assert bc == sh == auto and len(bc) > 0
+    # False must not plant a broadcast HINT (Catalyst/AQE stay free to
+    # pick the physical join from real stats, as elsewhere)
+    analyzed = (misc.multiget(pts, keys, broadcast_keys=False)
+                ._jdf.queryExecution().analyzed().toString())
+    assert "ResolvedHint" not in analyzed
+    forced = (misc.multiget(pts, keys, broadcast_keys=True)
+              ._jdf.queryExecution().analyzed().toString())
+    assert "ResolvedHint" in forced
+
+
 def test_count_all_and_nearest(spark, sf_smoke):
     from spatialgraft import datagen
     from spatialgraft.extract import with_geometry
