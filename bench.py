@@ -201,7 +201,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     # Warm codegen/JIT for every operator shape on the un-replicated
     # input so the measured region contains only real work.  The warmup
     # must use the same salt as the measured run (different plan shape).
-    knn_salt = int(os.environ.get("SPARK_GRAFT_KNN_SALT", "8")) or None
+    knn_salt = int(os.environ.get("SPARK_GRAFT_KNN_SALT", "0")) or None
     base = with_geometry(datagen.documents_spans(spark, sf_dir))
     pip_join_count(base, polys).count()
     knn_join(base, qs, k=10, salt=knn_salt, materialize=True).count()
@@ -226,27 +226,30 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     ops = os.environ.get("SPARK_GRAFT_SCALE_OPS", "pip,knn").split(",")
     from spatialgraft.ops.range import range_join_count
     boxes = rep_ids(datagen.query_boxes(spark, sf_dir), "box_id")
-    # salt=8: the replicated input makes every hotspot cell hold ~2M
-    # rows, and stage-2's per-cell probe work (cell rows x cover rows)
-    # then lands in ONE task per hot cell — measured as a 30 s straggler
-    # holding 4N utilization at 40% while N hides it in its 8 task
-    # waves.  The uniform salt knob (J9 without a stats pass) splits
-    # each cell's probe 8 ways on both join stages; results are
-    # bit-identical (tests/test_knn_paths.py::test_uniform_salt_identical).
-    # cache_input=False: the gate's input lineage is a cheap JVM explode
-    # of a tiny base, but 1.05B rows x 40B of UnsafeRow cache was the
-    # single largest stage of the r4 gate (57% of the N wall, 212 GC
-    # core-s, 2.4x CPU inflation at 4N from bus stalls).  Re-running
-    # the ~5 GB compressed shuffle per job is the cheaper side; a real
-    # deployment with expensive extraction keeps the default (True).
-    knn_cache = os.environ.get("SPARK_GRAFT_KNN_CACHE", "0") == "1"
+    # Gate defaults = the r4 engine (cached, unsalted, eager): round 5
+    # A/B-measured every alternative at the 4N level on x2304
+    # (bench_records/r5_ab4n_x2304.jsonl, one clean window) and the
+    # incumbent won decisively — cache+nosalt 139.7 s vs nocache 206.4,
+    # cache+salt8 268.0, nocache+salt8 223.9, lazy+salt8 349.8, lazy+
+    # nosalt CRASH (Catalyst's static size estimate of the exploded
+    # input misses the x2304 multiplicity, auto-broadcasts the 1.05B-
+    # row side, dies on driver maxResultSize; the eager cache is what
+    # prevents that — InMemoryRelation carries real stats).  salt=8
+    # loses because the per-(cell,salt,qid) pre-rank keeps k rows PER
+    # SLICE, feeding 8x the rows into the global rank (stage-1 went
+    # 6.6 -> 103 s at 4N) — far more than the ~30 s stage-2 straggler
+    # it removes.  The knobs remain for their legitimate regimes
+    # (salt: one dominating cell; cache off: cache-OOM-constrained
+    # executors) and for re-measurement on other hardware.
+    knn_cache = os.environ.get("SPARK_GRAFT_KNN_CACHE", "1") == "1"
+    knn_lazy = os.environ.get("SPARK_GRAFT_KNN_LAZY", "0") == "1"
     all_thunks = {
         "pip": lambda: pip_join_count(points(), polys).count(),
         "knn": lambda: knn_join(points(), qs, k=10,
                                 broadcast_queries=False,
                                 salt=knn_salt,
                                 cache_input=knn_cache,
-                                materialize=True).count(),
+                                materialize=not knn_lazy).count(),
         # range is memory-bandwidth-bound (35-billion-pair probe
         # stream); kept out of the default gate workload (see
         # docstring) but selectable for the full-3-op bracket record
@@ -277,6 +280,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             "docs_per_sec": round(len(thunks) * n_docs / wall, 1),
             "n_docs": int(n_docs), "ops": ops, "qrep": qrep,
             "knn_salt": knn_salt, "knn_cache_input": knn_cache,
+            "knn_lazy": knn_lazy,
             "rdd_compress": os.environ.get("SPARK_GRAFT_RDD_COMPRESS",
                                            "false"),
             "op_walls": op_walls or None,

@@ -1,23 +1,17 @@
 #!/bin/bash
-# Round-5 gate session.  All pairs run the round-5 engine defaults
-# (SPARK_GRAFT_KNN_SALT=8 uniform salt on both kNN join stages,
-# SPARK_GRAFT_KNN_CACHE=0 — no input cache at gate scale; see
-# bench.py:229-242 for the event-log-measured rationale).  Sequential,
-# clean-window-probed, via gate_pairs.sh.
+# Round-5 gate session.  Runs the gate-default engine, which after the
+# round-5 A/B matrix (bench_records/r5_ab4n_x2304.jsonl, BENCH_BASELINE
+# round-5 section) is the r4 incumbent: cached slim projection,
+# unsalted, eager (SPARK_GRAFT_KNN_SALT=0 / KNN_CACHE=1 defaults in
+# bench.py).  The first knn-only pair (r5_gate_x2304_knn_nfirst.jsonl)
+# ran the since-rejected salt8+uncached config and is retained as the
+# ratio-gaming cautionary record (better ratio from worse walls).
 set -u
 cd /root/repo
 mkdir -p bench_records
 R=bench_records
 
-# Pair A — kNN-only, N-first: apples-to-apples against the round-5
-# profile pair (bench_records/r5_knnprofile_x2304.jsonl: old engine,
-# N 265.1 s / 4N 170.8 s, eff 0.388) so the salt + no-cache win is a
-# controlled measurement.
-OUT=$R/r5_gate_x2304_knn_nfirst.jsonl REP=2304 QREP=1 MEM=4096 CORES=8 \
-  SCALE_OPS=knn ORDER=nfirst PAIRS=1 TMO=2700 WAITMAX=900 \
-  bash scripts/gate_pairs.sh
-
-# Pair B — the headline gate protocol (pip,knn N-first), round-5 engine
+# Pair B — the headline gate protocol (pip,knn N-first), champion engine
 OUT=$R/r5_gate_x2304_nfirst.jsonl REP=2304 QREP=1 MEM=4096 CORES=8 \
   SCALE_OPS=pip,knn ORDER=nfirst PAIRS=1 TMO=2700 WAITMAX=900 \
   bash scripts/gate_pairs.sh

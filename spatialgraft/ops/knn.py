@@ -467,10 +467,14 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     plan: optional SpatialPartitioning -> salt hot cells in stage 1 (J9).
     salt: uniform salt modulus (ignored when a plan is given): every
     cell splits into `salt` slices keyed by pmod(xxhash64(doc_key), salt)
-    and both join stages key on (cell, salt) — the plan-free skew knob
-    for dense inputs where one cell's probe work would otherwise land in
-    a single task (J9 without the stats pass a plan needs; the multicast
-    sides replicate x salt, which is why it is a knob, not the default).
+    and both join stages key on (cell, salt) — the plan-free J9 knob for
+    the ONE-dominating-cell regime.  It is a knob, not the default,
+    because it costs everywhere else: the multicast sides replicate
+    x salt, and the stage-1 pre-rank keeps k rows PER SLICE, feeding
+    salt-times the rows into the global rank — A/B-measured at 1.05B
+    docs as a large net LOSS on uniformly dense data (4N knn wall
+    139.7 -> 268.0 s at salt=8; bench_records/r5_ab4n_x2304.jsonl).
+    Prefer plan= (per-hot-cell split factors) when stats are available.
     broadcast_queries: None = auto size-gate per join (ring fan-out 9,
     stage-2 cover fan-out ~64) against the session broadcast threshold,
     from the optimizer's plan-size estimate — no job runs.  True/False
@@ -496,19 +500,28 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     unpersisted before returning.
 
     cache_input (materialize=True only): False skips the slim-
-    projection cache.  The cache trades one extra synthesis+shuffle of
-    the input lineage (the histogram job and the result job each run
-    the map side once; stage 1 and stage 2 share one exchange inside
-    the result job via ReuseExchange) against building and twice
-    reading a serialized cache.  When the input lineage is CHEAP and
-    HUGE relative to executor memory — a replicated/exploded table, a
-    raw scan — the cache is the wrong side of that trade: at the x2304
-    gate (1.05B rows, 4 GiB executors) the cache-build stage alone was
-    57% of the N-level wall with 212 GC core-s and 2.4x CPU inflation
-    at 4N (memory-bus stalls), while the compressed shuffle it avoids
-    re-reading is ~5 GB.  When the lineage contains expensive work
-    (the Python span extraction at sf0.1 headline scale), keep the
-    default."""
+    projection cache, so the histogram job and the result job each
+    re-run the input lineage (shuffle files do NOT persist across
+    separate query executions — there is no cross-job exchange reuse).
+    A/B at the x2304 gate (1.05B rows, 4 GiB executors) measured the
+    cache WINNING despite its build being 57% of the N wall: uncached
+    walls were 139.7 -> 206.4 s at 4N and ~2x at N
+    (bench_records/r5_ab4n_x2304.jsonl).  Keep the default unless the
+    cache itself cannot fit executor storage+disk.  The cache also
+    carries accurate InMemoryRelation stats — on exploded/generated
+    lineage whose static Catalyst estimate misses the multiplicity,
+    the uncached plan can auto-broadcast a huge side (the lazy-path
+    footnote below).
+
+    Scale footnote (materialize=False on exploded/generated inputs):
+    Catalyst's static sizeInBytes of an explode() does not model the
+    multiplicity, so a billion-row generated side can be estimated
+    under autoBroadcastJoinThreshold and planted as a broadcast build
+    — measured as a driver maxResultSize crash at x2304.  Parquet-
+    backed inputs (the normal case) have sound estimates and are
+    unaffected; for generated lineage either materialize=True (the
+    cache's stats fix the plan) or disable auto-broadcast for the
+    session."""
     spark = points.sparkSession
     if broadcast_queries is None:
         from ..broadcast import plan_size_bytes, threshold_bytes
