@@ -17,11 +17,22 @@ WORLD_MY = 180_000
 # Grid level: CX x CY cells over the world.  Role of the reference's
 # Hilbert/quadkey cell ids (reference sfcurve.scala:28-148) — here a flat
 # grid id `cell = cell_x * CY + cell_y` with exact integer assignment
-# `cell_x = mx * CX div WORLD_MX`.  CX*CY = 32768 cells: small enough that
-# per-cell stats collect to the driver even at 10^12 rows (stats are
-# O(#cells), never O(#rows)).
-CELL_CX = 256
-CELL_CY = 128
+# `cell_x = mx * CX div WORLD_MX`.  The default CX*CY = 32768 cells:
+# small enough that per-cell stats collect to the driver even at 10^12
+# rows (stats are O(#cells), never O(#rows)).
+#
+# Env-tunable (SPARK_GRAFT_CELL_CX / _CY) because granularity is the
+# join-shape tradeoff: finer cells cut the kNN stage-2 / range-refine
+# probe volume ~linearly (each candidate cell holds fewer rows) but
+# multiply multicast cover rows and the O(#cells) driver structures.
+# Results are grid-INDEPENDENT (the grid only routes work; every
+# operator refines exactly), machine-checked by running the oracle
+# suite under a non-default grid.  All derived constants (N_CELLS,
+# Morton bit widths, SAT ring radii) follow automatically.
+import os as _os
+
+CELL_CX = int(_os.environ.get("SPARK_GRAFT_CELL_CX", "256"))
+CELL_CY = int(_os.environ.get("SPARK_GRAFT_CELL_CY", "128"))
 N_CELLS = CELL_CX * CELL_CY
 
 # Tile level for raster<->vector tile assignment (finer than join cells).

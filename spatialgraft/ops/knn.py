@@ -85,8 +85,11 @@ _Y = "(CAST(my - 90000 AS DOUBLE) / 1000.0)"
 _D2 = (f"(qx - {_X}) * (qx - {_X}) + (qy - {_Y}) * (qy - {_Y})")
 
 # ring-expansion candidate radii (cells): powers of two up to the full
-# grid — 9 rows per underfilled query, driver-independent
-_EXPAND_RADII = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+# grid (derived from the configured grid so a granularity change keeps
+# the largest radius covering the world) — one row per radius per
+# underfilled query, driver-independent
+_EXPAND_RADII = [2 ** i
+                 for i in range(max(C.CELL_CX, C.CELL_CY).bit_length())]
 
 
 def _with_ring_bounds(queries: DataFrame,

@@ -23,7 +23,8 @@ def test_sfilter_identical_results(spark, sf_smoke):
     p = pruned.sort_values(["box_id"]).reset_index(drop=True)
     assert b.equals(p)
     # and the filter actually prunes something at smoke scale
-    assert len(cells) < 32768
+    from spatialgraft import config as C
+    assert len(cells) < C.N_CELLS
 
 
 def test_checkpoint_resume(spark, sf_smoke, tmp_path):
