@@ -376,39 +376,41 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
     else:
         under = stats.where(F.col("cnt") < k)
         radii = ", ".join(str(r) for r in _EXPAND_RADII)
-        exp_base = (under
-                .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx",
-                            "_cy", f"explode(array({radii})) AS _r")
-                .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_r",
-                            "greatest(_cx - _r, 0) AS _cxa",
-                            f"least(_cx + _r, {C.CELL_CX - 1}) AS _cxb",
-                            "greatest(_cy - _r, 0) AS _cya",
-                            f"least(_cy + _r, {C.CELL_CY - 1}) AS _cyb"))
-        exp = (add_ring_count(exp_base, ["qid", "_r"], "_rc")
-           .where(F.col("_rc") >= need)
-           .withColumn("_pick", F.row_number().over(
-               Window.partitionBy("qid").orderBy("_r")))
-           .where(F.col("_pick") == 1)
-           # exact milli bounds of the chosen box (same floor arithmetic
-           # as _with_ring_bounds), far-corner distance -> kth bound;
-           # lateral aliases keep each bound single-sourced
-           .selectExpr(
-               "qid", "qmx", "qmy", "qx", "qy",
-               f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) "
-               f"div {C.CELL_CX} AS _bx0",
-               f"((_cxb + 1) * {C.WORLD_MX} + {C.CELL_CX - 1}) "
-               f"div {C.CELL_CX} - 1 AS _bx1",
-               f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) "
-               f"div {C.CELL_CY} AS _by0",
-               f"((_cyb + 1) * {C.WORLD_MY} + {C.CELL_CY - 1}) "
-               f"div {C.CELL_CY} - 1 AS _by1",
-               "greatest(qmx - _bx0, _bx1 - qmx) AS _dxm",
-               "greatest(qmy - _by0, _by1 - qmy) AS _dym")
-           .selectExpr(
-               "qid", "qmx", "qmy", "qx", "qy",
-               "CAST(ceil(sqrt(CAST(_dxm * _dxm + _dym * _dym "
-               "AS DOUBLE))) + 1 AS BIGINT) AS rm",
-               "CAST(rm * rm AS DOUBLE) / 1.0E6 AS kth2"))
+        exp_base = (
+            under
+            .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_cx",
+                        "_cy", f"explode(array({radii})) AS _r")
+            .selectExpr("qid", "qmx", "qmy", "qx", "qy", "_r",
+                        "greatest(_cx - _r, 0) AS _cxa",
+                        f"least(_cx + _r, {C.CELL_CX - 1}) AS _cxb",
+                        "greatest(_cy - _r, 0) AS _cya",
+                        f"least(_cy + _r, {C.CELL_CY - 1}) AS _cyb"))
+        exp = (
+            add_ring_count(exp_base, ["qid", "_r"], "_rc")
+            .where(F.col("_rc") >= need)
+            .withColumn("_pick", F.row_number().over(
+                Window.partitionBy("qid").orderBy("_r")))
+            .where(F.col("_pick") == 1)
+            # exact milli bounds of the chosen box (same floor arithmetic
+            # as _with_ring_bounds), far-corner distance -> kth bound;
+            # lateral aliases keep each bound single-sourced
+            .selectExpr(
+                "qid", "qmx", "qmy", "qx", "qy",
+                f"(_cxa * {C.WORLD_MX} + {C.CELL_CX - 1}) "
+                f"div {C.CELL_CX} AS _bx0",
+                f"((_cxb + 1) * {C.WORLD_MX} + {C.CELL_CX - 1}) "
+                f"div {C.CELL_CX} - 1 AS _bx1",
+                f"(_cya * {C.WORLD_MY} + {C.CELL_CY - 1}) "
+                f"div {C.CELL_CY} AS _by0",
+                f"((_cyb + 1) * {C.WORLD_MY} + {C.CELL_CY - 1}) "
+                f"div {C.CELL_CY} - 1 AS _by1",
+                "greatest(qmx - _bx0, _bx1 - qmx) AS _dxm",
+                "greatest(qmy - _by0, _by1 - qmy) AS _dym")
+            .selectExpr(
+                "qid", "qmx", "qmy", "qx", "qy",
+                "CAST(ceil(sqrt(CAST(_dxm * _dxm + _dym * _dym "
+                "AS DOUBLE))) + 1 AS BIGINT) AS rm",
+                "CAST(rm * rm AS DOUBLE) / 1.0E6 AS kth2"))
 
     # stage 2: exact radius re-join for boundary + underfilled queries
     bq = filled.where("NOT done").select(
