@@ -216,3 +216,81 @@ def test_concave_plan_has_no_python(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------- property test (DuckDB dialect, no JVM)
+
+def _random_star(rng, n, cx, cy, rmax):
+    """Random star-shaped polygon: distinct sorted angles, random radii
+    — simple by construction before rounding; rounding is re-verified
+    by the caller."""
+    import math
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+    xs, ys = [], []
+    for th in angles:
+        r = rng.randint(max(3, rmax // 4), rmax)
+        xs.append(cx + round(r * math.cos(th)))
+        ys.append(cy + round(r * math.sin(th)))
+    return xs, ys
+
+
+def test_concave_predicate_duckdb_random_polygons_match_twin():
+    """Property test of the DuckDB-dialect even-odd ray-cast against
+    the Fraction-exact twin on random star polygons and hostile probe
+    points (vertices, edge midpoints, bbox-grid points).  The Spark
+    dialect of the same template is covered operator-level above; this
+    closes the oracle side with randomized coverage — any divergence
+    would break the bit-exact CORRECTNESS contract."""
+    import random
+
+    import duckdb
+
+    from spatialgraft.sqlgen import pip_concave_predicate
+
+    rng = random.Random(20260817)
+    con = duckdb.connect()
+    pred = pip_concave_predicate("p.mx", "p.my", "g.vxs", "g.vys",
+                                 "duckdb")
+    cases = 0
+    for trial in range(40):
+        n = rng.choice([4, 5, 7, 9, 12, 16])
+        xs, ys = _random_star(rng, n, 100_000, 90_000, rng.choice(
+            [5, 40, 1000]))
+        verts = list(zip(xs, ys))
+        if len(set(verts)) != n:
+            continue
+        # rounding may break the sorted-angle simplicity guarantee;
+        # keep only genuinely simple rings (the operator's contract)
+        edges = [(verts[i], verts[(i + 1) % n]) for i in range(n)]
+        ok = True
+        for i in range(n):
+            for j in range(i + 1, n):
+                if j == i + 1 or (i == 0 and j == n - 1):
+                    continue
+                if _segments_intersect(*edges[i], *edges[j]):
+                    ok = False
+        if not ok:
+            continue
+        # probe set: all vertices, integer edge midpoints, and a grid
+        # across the bbox (inside, outside, pocket, border candidates)
+        probes = set(verts)
+        for (x1, y1), (x2, y2) in edges:
+            probes.add(((x1 + x2) // 2, (y1 + y2) // 2))
+        x0, x1b = min(xs) - 2, max(xs) + 2
+        y0, y1b = min(ys) - 2, max(ys) + 2
+        for gx in range(7):
+            for gy in range(7):
+                probes.add((x0 + (x1b - x0) * gx // 6,
+                            y0 + (y1b - y0) * gy // 6))
+        probes = sorted(probes)
+        pts_sql = ", ".join(f"({px}, {py})" for px, py in probes)
+        got = con.execute(
+            f"SELECT {pred} FROM (VALUES {pts_sql}) AS p(mx, my) "
+            f"CROSS JOIN (SELECT {list(xs)}::BIGINT[] AS vxs, "
+            f"{list(ys)}::BIGINT[] AS vys) AS g "
+            f"ORDER BY p.mx, p.my").fetchall()
+        for (px, py), (res,) in zip(probes, got):
+            want = _inside_bruteforce(px, py, xs, ys)
+            assert bool(res) == want, (trial, n, px, py, xs, ys)
+            cases += 1
+    assert cases > 1500  # non-vacuous across trials
