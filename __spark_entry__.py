@@ -239,11 +239,19 @@ def _q_range_join_count_salted(spark, sf_dir):
         pts, datagen.query_boxes(spark, sf_dir), plan)
 
 
-def _q_range_filter_indexed(spark, sf_dir):
+def _session_tmp(spark, kind: str, sf_dir: str) -> str:
+    """Stable per-(session, sf) scratch path: repeated driver-contract
+    calls overwrite/reuse one directory instead of accumulating a fresh
+    mkdtemp per call (VERDICT r5 nit 4)."""
     import tempfile
+    tag = spark.sparkContext.applicationId
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"sg_{kind}_{tag}_{sf}")
 
+
+def _q_range_filter_indexed(spark, sf_dir):
     from spatialgraft import index
-    path = tempfile.mkdtemp(prefix="sg_idx_") + "/pts"
+    path = _session_tmp(spark, "idx", sf_dir) + "/pts"
     index.write_indexed(
         _points(spark, sf_dir).select("doc_key", "mx", "my"), path)
     return index.range_filter_indexed(spark, path, *HOTSPOT).select(
@@ -251,10 +259,10 @@ def _q_range_filter_indexed(spark, sf_dir):
 
 
 def _q_checkpoint_range_join(spark, sf_dir):
-    import tempfile
-
     from spatialgraft.checkpoint import checkpointed_range_join
-    root = tempfile.mkdtemp(prefix="sg_ckpt_")
+    # a stable root is also the more faithful resume exercise: the 2nd+
+    # driver call starts from the previous call's committed manifest
+    root = _session_tmp(spark, "ckpt", sf_dir)
     checkpointed_range_join(spark, sf_dir, root)  # cold run: commits
     return checkpointed_range_join(spark, sf_dir, root)  # resumed run
 

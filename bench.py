@@ -200,11 +200,17 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
 
     # Warm codegen/JIT for every operator shape on the un-replicated
     # input so the measured region contains only real work.  The warmup
-    # must use the same salt as the measured run (different plan shape).
+    # must use the same salt AND cache/lazy shape as the measured run
+    # (each is a different plan whose codegen the warmup exists to
+    # compile — ADVICE r5: warming materialize=True while measuring the
+    # lazy variant biased the recorded walls against it).
     knn_salt = int(os.environ.get("SPARK_GRAFT_KNN_SALT", "0")) or None
+    knn_cache = os.environ.get("SPARK_GRAFT_KNN_CACHE", "1") == "1"
+    knn_lazy = os.environ.get("SPARK_GRAFT_KNN_LAZY", "0") == "1"
     base = with_geometry(datagen.documents_spans(spark, sf_dir))
     pip_join_count(base, polys).count()
-    knn_join(base, qs, k=10, salt=knn_salt, materialize=True).count()
+    knn_join(base, qs, k=10, salt=knn_salt, cache_input=knn_cache,
+             materialize=not knn_lazy).count()
 
     # The queries run SEQUENTIALLY by default (SPARK_GRAFT_SCALE_CONC=1
     # restores the round-2 concurrent-threads protocol).  Measured this
@@ -241,8 +247,8 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     # it removes.  The knobs remain for their legitimate regimes
     # (salt: one dominating cell; cache off: cache-OOM-constrained
     # executors) and for re-measurement on other hardware.
-    knn_cache = os.environ.get("SPARK_GRAFT_KNN_CACHE", "1") == "1"
-    knn_lazy = os.environ.get("SPARK_GRAFT_KNN_LAZY", "0") == "1"
+    # (knn_cache / knn_lazy are read above, before the warmup, so the
+    # warmup compiles the same plan shape the measurement runs.)
     all_thunks = {
         "pip": lambda: pip_join_count(points(), polys).count(),
         "knn": lambda: knn_join(points(), qs, k=10,

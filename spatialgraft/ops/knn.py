@@ -87,9 +87,16 @@ _D2 = (f"(qx - {_X}) * (qx - {_X}) + (qy - {_Y}) * (qy - {_Y})")
 # ring-expansion candidate radii (cells): powers of two up to the full
 # grid (derived from the configured grid so a granularity change keeps
 # the largest radius covering the world) — one row per radius per
-# underfilled query, driver-independent
+# underfilled query, driver-independent.  The largest radius must reach
+# max(CX, CY) - 1 (a query in a corner cell expanding to the far edge):
+# (max - 1).bit_length() + 1 radii guarantees 2^last >= max - 1 for ANY
+# grid, including non-power-of-two SPARK_GRAFT_CELL_CX/_CY overrides
+# (the old max().bit_length() span only covered power-of-two dims —
+# under e.g. 96x48 a corner query whose need sat beyond radius 64
+# matched no radius and was silently dropped; ADVICE r5).
 _EXPAND_RADII = [2 ** i
-                 for i in range(max(C.CELL_CX, C.CELL_CY).bit_length())]
+                 for i in range((max(C.CELL_CX, C.CELL_CY) - 1)
+                                .bit_length() + 1)]
 
 
 def _with_ring_bounds(queries: DataFrame,
@@ -243,7 +250,7 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
             need, sampling_guard: str, sample_stage1: bool,
             persist_intermediates: bool,
             prune_cells=None, expand: bool = True,
-            usalt: int | None = None):
+            usalt: int | None = None, smj_pts: bool = False):
     """Shared stage-1 / split / expand / stage-2 assembly.  The eager
     and lazy paths differ only in what they inject here: the histogram
     source (collected vs lazy agg), the SAT lookup strategy (driver
@@ -261,7 +268,12 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
     SAT ring-expansion subtree — only valid when the caller KNOWS no
     query can underfill usefully (eager, total == 0).  usalt: uniform
     salt modulus when the salt column came from knn_join(salt=N) rather
-    than a per-cell plan."""
+    than a per-cell plan.  smj_pts: plant a merge (sort-merge) hint on
+    the points side of both stage joins — SMJ never builds a broadcast,
+    so a points side whose Catalyst size estimate is garbage (explode-
+    blind Generate lineage) can never be planted as a broadcast build;
+    an explicitly-broadcast ring/cover side still wins hint resolution
+    (broadcast beats merge), so small-query plans keep theirs."""
     persisted = []
     dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
 
@@ -325,6 +337,8 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
     # those are the rows the per-group top-k heap/sort streams, and
     # qx/qy/mx/my riding along would double the sort's memory traffic
     # (the measured 4N bottleneck is the memory bus, not ALU).
+    if smj_pts:
+        pts1 = pts1.hint("merge")
     cand1 = (pts1.join(ring, on=keys, how="inner")
              .selectExpr(*keys, "qid", "doc_key", f"{_D2} AS dist2")
              .withColumn("prnk", F.row_number().over(wpre))
@@ -442,7 +456,8 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
         cover = salt_explode(cover, ["qid", "qx", "qy", "kth2"])
     if bc_cover:
         cover = F.broadcast(cover)
-    boundary = (pts.join(cover, on=keys, how="inner")
+    pts2 = pts.hint("merge") if smj_pts else pts
+    boundary = (pts2.join(cover, on=keys, how="inner")
                 .selectExpr(*keys, "qid", "doc_key", "kth2",
                             f"{_D2} AS dist2")
                 .where(F.col("dist2") <= F.col("kth2"))
@@ -455,6 +470,22 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
                 .select("qid", "doc_key", "dist2", "rnk"))
 
     return done.unionByName(boundary), persisted
+
+
+def _bc_gates(spark, queries: DataFrame, eff_salt: int,
+              flag: bool | None) -> tuple[bool, bool]:
+    """Resolve the ring / stage-2-cover broadcast decisions: explicit
+    flag wins; None size-gates the optimizer's estimate of the query
+    side times the multicast fan-out (ring 9, cover ~64) TIMES the
+    effective salt replication, against the session threshold — no job
+    runs (see spatialgraft.broadcast for why plan stats, not a count)."""
+    if flag is not None:
+        return flag, flag
+    from ..broadcast import plan_size_bytes, threshold_bytes
+    thr = threshold_bytes(spark)
+    est = plan_size_bytes(queries) if thr > 0 else 1 << 62
+    return (thr > 0 and est * 9 * eff_salt <= thr,
+            thr > 0 and est * 64 * eff_salt <= thr)
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
@@ -520,22 +551,30 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
 
     Scale footnote (materialize=False on exploded/generated inputs):
     Catalyst's static sizeInBytes of an explode() does not model the
-    multiplicity, so a billion-row generated side can be estimated
+    multiplicity, so a billion-row generated side could be estimated
     under autoBroadcastJoinThreshold and planted as a broadcast build
-    — measured as a driver maxResultSize crash at x2304.  Parquet-
-    backed inputs (the normal case) have sound estimates and are
-    unaffected; for generated lineage either materialize=True (the
-    cache's stats fix the plan) or disable auto-broadcast for the
-    session."""
+    — measured as a driver maxResultSize crash at x2304.  GUARDED
+    since r6: when the input lineage contains a Generate, the lazy
+    path plants merge (sort-merge) hints on the points side of both
+    stage joins, so Catalyst can never pick it as a broadcast build;
+    parquet-backed inputs (sound estimates) keep their unhinted plans
+    (tests/test_knn_paths.py::test_lazy_generated_input_never_broadcast).
+    """
     spark = points.sparkSession
-    if broadcast_queries is None:
-        from ..broadcast import plan_size_bytes, threshold_bytes
-        thr = threshold_bytes(spark)
-        est = plan_size_bytes(queries) if thr > 0 else 1 << 62
-        bc_ring = thr > 0 and est * 9 <= thr
-        bc_cover = thr > 0 and est * 64 <= thr
+    # effective salt multiplier of the multicast sides: with salt=N (or
+    # a plan whose hottest cell splits N ways) the ring/cover rows are
+    # replicated a further N times by salt_explode, so the broadcast
+    # size gate must count it (ADVICE r5: a salted query side up to Nx
+    # over the threshold could still be force-broadcast)
+    if plan is not None:
+        eff_salt = max((ns for _, ns in plan.assignment.values()),
+                       default=1)
+    elif salt is not None and salt > 1:
+        eff_salt = int(salt)
     else:
-        bc_ring = bc_cover = broadcast_queries
+        eff_salt = 1
+    bc_ring, bc_cover = _bc_gates(spark, queries, eff_salt,
+                                  broadcast_queries)
     if pred is not None:
         points = points.where(pred if isinstance(pred, Column)
                               else F.expr(pred))
@@ -583,6 +622,22 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
 
     if not materialize:
+        # Scale guard (VERDICT r5 item 1): Catalyst's static sizeInBytes
+        # of a Generate (explode) node does not model the multiplicity,
+        # so a billion-row generated points side can be estimated under
+        # autoBroadcastJoinThreshold and planted as the BROADCAST BUILD
+        # of a stage join — measured as a driver maxResultSize CRASH at
+        # 1.05B rows (bench_records/r5_ab4n_x2304.jsonl, lazy_salt8
+        # note).  When the input lineage contains a Generate, force
+        # sort-merge on the points side of both stage joins (smj_pts);
+        # parquet-backed inputs (sound estimates) keep today's plans.
+        # The eager path needs no guard: its cache carries real
+        # InMemoryRelation stats and AQE re-plans from them.
+        try:
+            smj_pts = "Generate" in (points._jdf.queryExecution()
+                                     .analyzed().toString())
+        except Exception:
+            smj_pts = True  # unknown lineage -> take the scale-safe side
         # fully lazy: histogram, total, and SAT are all plan nodes
         cell_counts = pts.groupBy("cell").agg(
             F.count("*").alias("cellcnt"))
@@ -601,12 +656,20 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
             return df2
 
         need = F.least(F.lit(k).cast("long"), F.col("_total"))
+        # prune asymmetry vs the eager path (documented, ADVICE r5): the
+        # eager path gates the stage-2 presence prune on <50% grid
+        # occupancy because it is pure overhead on dense grids, but that
+        # signal is a driver-side histogram the lazy path by contract
+        # never collects (no job at construction time) — so the lazy
+        # plan carries the O(#cells) broadcast semi-join prune
+        # unconditionally.  Results are identical either way; callers
+        # on known-dense inputs who care should use materialize=True.
         result, _ = _stages(
             spark, pts, queries, k, keys, salt_map, bc_ring, bc_cover,
             cell_counts, add_with_total, need,
             sampling_guard=f"ring_sum < {dense_thresh} AND ",
             sample_stage1=True, persist_intermediates=False,
-            prune_cells=cell_counts, usalt=usalt)
+            prune_cells=cell_counts, usalt=usalt, smj_pts=smj_pts)
         return result
 
     # eager path: SER cache (see docstring), one O(#cells) collect.

@@ -37,15 +37,28 @@ class SpatialPartitioning:
     _df: DataFrame | None = None
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        # memoized + persisted: the map participates in several jobs of
-        # one query (stage-1 cogroup, stage-2 join) — rebuilding the
-        # 32k-row local DataFrame per job costs more than the lookup.
+        # Memoized but NOT persisted: rebuilding the 32k-row local
+        # DataFrame per call costs driver-side serialization (which the
+        # memo avoids), but the map is only ever the build side of
+        # broadcast joins, where executor-side caching buys nothing —
+        # the old .persist() here leaked one cached relation per plan
+        # object for session lifetime (VERDICT r5 nit 2).
         if self._df is None:
             rows = [(cell, pid, nsplits)
                     for cell, (pid, nsplits) in self.assignment.items()]
             self._df = spark.createDataFrame(
-                rows, "cell bigint, pid int, nsplits int").persist()
+                rows, "cell bigint, pid int, nsplits int")
         return self._df
+
+    def release(self) -> None:
+        """Drop the memoized map DataFrame (and any cache a caller may
+        have layered on it).  to_df() after release() rebuilds it."""
+        if self._df is not None:
+            try:
+                self._df.unpersist()
+            except Exception:
+                pass
+            self._df = None
 
     def pid_of(self, cell: int) -> int:
         return self.assignment.get(int(cell), (0, 1))[0]

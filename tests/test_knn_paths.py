@@ -156,3 +156,71 @@ def test_lazy_equals_eager(spark, sf_smoke):
     qs = datagen.knn_queries(spark, sf_smoke)
     _assert_same(knn_join(pts, qs, k=10, materialize=False),
                  knn_join(pts, qs, k=10, materialize=True))
+
+
+def _assert_no_raw_generate_broadcast(plan_str):
+    """Every BroadcastExchange subtree that contains a Generate must
+    also contain an Aggregate below it: broadcasting an O(#cells)
+    aggregate OF generated lineage is safe by construction; broadcasting
+    the raw generated row stream is the measured driver crash."""
+    import re
+    lines = plan_str.splitlines()
+    art = [re.match(r"^[\s:+\-=*]*", ln).end() for ln in lines]
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = art[i]
+        sub = []
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip() and art[j] <= depth:
+                break
+            sub.append(lines[j])
+        body = "\n".join(sub)
+        if "Generate" in body:
+            assert "Aggregate" in body, (
+                "raw generated lineage under a BroadcastExchange:\n"
+                + ln + "\n" + body[:1500])
+
+
+def test_lazy_generated_input_never_broadcast(spark, sf_smoke):
+    """VERDICT r5 item 1: Catalyst's explode-blind sizeInBytes could
+    plant a generated points side as a broadcast build (measured driver
+    maxResultSize crash at 1.05B rows).  The lazy path must detect the
+    Generate lineage and force sort-merge on the points side of both
+    stage joins — and must leave parquet-backed plans untouched."""
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    big = (pts.withColumn("_r", F.explode(F.sequence(F.lit(0),
+                                                     F.lit(49))))
+           .withColumn("doc_key", F.col("doc_key") * 50 + F.col("_r"))
+           .drop("_r"))
+    qs = datagen.knn_queries(spark, sf_smoke).limit(40)
+    lazy = knn_join(big, qs, k=3, materialize=False)
+    opt = lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=merge") >= 2, \
+        "guard did not hint both stage joins"
+    _assert_no_raw_generate_broadcast(
+        lazy._jdf.queryExecution().executedPlan().toString())
+    # parquet-backed input keeps today's unhinted plans
+    normal = knn_join(pts, qs, k=3, materialize=False)
+    assert "strategy=merge" not in \
+        normal._jdf.queryExecution().optimizedPlan().toString()
+    # and the guarded plan is still bit-exact vs the eager path
+    _assert_same(lazy, knn_join(big, qs, k=3, materialize=True))
+
+
+def test_broadcast_gate_counts_salt(spark, sf_smoke):
+    """ADVICE r5: the ring/cover auto-broadcast gate must multiply the
+    fan-out by the effective salt replication of the multicast side."""
+    from spatialgraft.broadcast import plan_size_bytes, threshold_bytes
+    from spatialgraft.ops.knn import _bc_gates
+    qs = datagen.knn_queries(spark, sf_smoke)
+    est, thr = plan_size_bytes(qs), threshold_bytes(spark)
+    assert 0 < est * 9 <= thr, "fixture: unsalted ring must fit"
+    ring1, _cover1 = _bc_gates(spark, qs, 1, None)
+    assert ring1
+    big_salt = int(thr // (est * 9) + 1)
+    ring_s, cover_s = _bc_gates(spark, qs, big_salt, None)
+    assert not ring_s and not cover_s
+    # explicit flags still win over the gate
+    assert _bc_gates(spark, qs, big_salt, True) == (True, True)
+    assert _bc_gates(spark, qs, 1, False) == (False, False)

@@ -18,3 +18,28 @@ def test_salted_join_identical_and_nonvacuous(spark, sf_correct):
     salted = (rops.range_join_count_salted(pts, boxes, plan).toPandas()
               .sort_values("box_id").reset_index(drop=True))
     assert base.equals(salted)
+
+
+def test_partitioner_map_leaves_no_cache(spark, sf_correct):
+    """VERDICT r5 nit 2: the plan's 32k-row cell map must not leak a
+    cached relation for session lifetime — to_df no longer persists
+    (the map is only ever a broadcast build side) and release() drops
+    the memo."""
+    from spatialgraft.ops.knn import knn_join
+
+    pts = with_geometry(datagen.documents_spans(spark, sf_correct))
+    boxes = datagen.query_boxes(spark, sf_correct)
+    plan = plan_partitions(pts.select("doc_key", "mx", "my"))
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    rops.range_join_count_salted(pts, boxes, plan).count()
+    assert jsc.getPersistentRDDs().size() == before
+    # eager salted kNN: only the returned (intentional) result persists
+    qs = datagen.knn_queries(spark, sf_correct).limit(50)
+    res = knn_join(pts, qs, k=5, plan=plan, materialize=True)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    res.unpersist()
+    assert jsc.getPersistentRDDs().size() == before
+    plan.release()
+    assert plan._df is None
+    assert plan.to_df(spark).count() > 0  # rebuilds after release
