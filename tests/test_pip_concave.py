@@ -218,7 +218,7 @@ def test_concave_plan_has_no_python(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
-# --------------------------- property test (DuckDB dialect, no JVM)
+# ----------------- property tests (both dialect emitters, one source)
 
 def _random_star(rng, n, cx, cy, rmax):
     """Random star-shaped polygon: distinct sorted angles, random radii
@@ -234,33 +234,24 @@ def _random_star(rng, n, cx, cy, rmax):
     return xs, ys
 
 
-def test_concave_predicate_duckdb_random_polygons_match_twin():
-    """Property test of the DuckDB-dialect even-odd ray-cast against
-    the Fraction-exact twin on random star polygons and hostile probe
-    points (vertices, edge midpoints, bbox-grid points).  The Spark
-    dialect of the same template is covered operator-level above; this
-    closes the oracle side with randomized coverage — any divergence
-    would break the bit-exact CORRECTNESS contract."""
+def _random_trial_cases(seed, trials=40):
+    """(xs, ys, probes) for random simple star polygons with hostile
+    probe sets: all vertices, integer edge midpoints, and a 7x7 grid
+    across the bbox (inside, outside, pocket, border candidates).
+    Rounding may break the sorted-angle simplicity guarantee, so only
+    genuinely simple rings (the operator's contract) are yielded.
+    Shared by BOTH dialect property tests — the Spark and DuckDB
+    emitters are separate code paths (VERDICT r5 nit 5) and must be
+    exercised on the same generator."""
     import random
-
-    import duckdb
-
-    from spatialgraft.sqlgen import pip_concave_predicate
-
-    rng = random.Random(20260817)
-    con = duckdb.connect()
-    pred = pip_concave_predicate("p.mx", "p.my", "g.vxs", "g.vys",
-                                 "duckdb")
-    cases = 0
-    for trial in range(40):
+    rng = random.Random(seed)
+    for _trial in range(trials):
         n = rng.choice([4, 5, 7, 9, 12, 16])
         xs, ys = _random_star(rng, n, 100_000, 90_000, rng.choice(
             [5, 40, 1000]))
         verts = list(zip(xs, ys))
         if len(set(verts)) != n:
             continue
-        # rounding may break the sorted-angle simplicity guarantee;
-        # keep only genuinely simple rings (the operator's contract)
         edges = [(verts[i], verts[(i + 1) % n]) for i in range(n)]
         ok = True
         for i in range(n):
@@ -271,8 +262,6 @@ def test_concave_predicate_duckdb_random_polygons_match_twin():
                     ok = False
         if not ok:
             continue
-        # probe set: all vertices, integer edge midpoints, and a grid
-        # across the bbox (inside, outside, pocket, border candidates)
         probes = set(verts)
         for (x1, y1), (x2, y2) in edges:
             probes.add(((x1 + x2) // 2, (y1 + y2) // 2))
@@ -282,7 +271,25 @@ def test_concave_predicate_duckdb_random_polygons_match_twin():
             for gy in range(7):
                 probes.add((x0 + (x1b - x0) * gx // 6,
                             y0 + (y1b - y0) * gy // 6))
-        probes = sorted(probes)
+        yield xs, ys, sorted(probes)
+
+
+_PROPERTY_SEED = 20260817
+
+
+def test_concave_predicate_duckdb_random_polygons_match_twin():
+    """DuckDB-dialect even-odd ray-cast vs the Fraction-exact twin on
+    random star polygons — any divergence would break the bit-exact
+    CORRECTNESS contract on the oracle side."""
+    import duckdb
+
+    from spatialgraft.sqlgen import pip_concave_predicate
+
+    con = duckdb.connect()
+    pred = pip_concave_predicate("p.mx", "p.my", "g.vxs", "g.vys",
+                                 "duckdb")
+    cases = 0
+    for xs, ys, probes in _random_trial_cases(_PROPERTY_SEED):
         pts_sql = ", ".join(f"({px}, {py})" for px, py in probes)
         got = con.execute(
             f"SELECT {pred} FROM (VALUES {pts_sql}) AS p(mx, my) "
@@ -291,6 +298,36 @@ def test_concave_predicate_duckdb_random_polygons_match_twin():
             f"ORDER BY p.mx, p.my").fetchall()
         for (px, py), (res,) in zip(probes, got):
             want = _inside_bruteforce(px, py, xs, ys)
-            assert bool(res) == want, (trial, n, px, py, xs, ys)
+            assert bool(res) == want, (px, py, xs, ys)
             cases += 1
     assert cases > 1500  # non-vacuous across trials
+
+
+def test_concave_predicate_spark_random_polygons_match_twin(spark):
+    """VERDICT r5 nit 5: the SPARK-dialect emitter run through the same
+    random-polygon generator as the DuckDB one (the two emitters are
+    separate code paths; star templates and fixtures alone covered the
+    Spark side).  One SQL evaluates every (polygon, probe) pair
+    JVM-side against the Fraction-exact twin."""
+    from spatialgraft.sqlgen import pip_concave_predicate
+
+    pred = pip_concave_predicate("p.mx", "p.my", "g.vxs", "g.vys",
+                                 "spark")
+    poly_rows, probe_rows, want = [], [], set()
+    pid = 0
+    for xs, ys, probes in _random_trial_cases(_PROPERTY_SEED):
+        vx = ", ".join(f"{v}L" for v in xs)
+        vy = ", ".join(f"{v}L" for v in ys)
+        poly_rows.append(f"({pid}L, array({vx}), array({vy}))")
+        for px, py in probes:
+            probe_rows.append(f"({pid}L, {px}L, {py}L)")
+            if _inside_bruteforce(px, py, xs, ys):
+                want.add((pid, px, py))
+        pid += 1
+    assert pid >= 25 and len(probe_rows) > 1500  # non-vacuous
+    sql = (f"SELECT p.pid, p.mx, p.my "
+           f"FROM (VALUES {', '.join(probe_rows)}) AS p(pid, mx, my) "
+           f"JOIN (VALUES {', '.join(poly_rows)}) AS g(pid, vxs, vys) "
+           f"ON p.pid = g.pid WHERE {pred}")
+    got = {(r[0], r[1], r[2]) for r in spark.sql(sql).collect()}
+    assert got == want
