@@ -287,6 +287,12 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             "n_docs": int(n_docs), "ops": ops, "qrep": qrep,
             "knn_salt": knn_salt, "knn_cache_input": knn_cache,
             "knn_lazy": knn_lazy,
+            # stage-2 hot-cell split (config.KNN_S2SPLIT; the knn_join
+            # call reads the env defaults, recorded here for the A/B)
+            "knn_s2split": os.environ.get("SPARK_GRAFT_KNN_S2SPLIT",
+                                          "off"),
+            "knn_s2split_thresh": os.environ.get(
+                "SPARK_GRAFT_KNN_S2SPLIT_THRESH", "500000"),
             "rdd_compress": os.environ.get("SPARK_GRAFT_RDD_COMPRESS",
                                            "false"),
             "op_walls": op_walls or None,

@@ -1,0 +1,65 @@
+#!/bin/bash
+# Round-6 A/B: stage-2 hot-cell split (VERDICT r5 item 2) at the gate
+# workload — kNN-only, 4 executors x 8 cores, 4 GiB each, x2304 =
+# 1.05B docs (the r5 A/B matrix protocol, bench_records/r5_ab4n_x2304
+# .jsonl).  Configs: incumbent (off) vs "doc" (hot points partitioned
+# by doc_key hash, cover replicated) vs "qid" (the verdict's shape:
+# cover hashed by qid, hot points replicated).  Runs back-to-back
+# inside ONE probed clean window, one Spark JVM at a time, incumbent
+# first and last (bracket drift).  Appends tagged JSON lines to $OUT.
+set -u
+OUT=${OUT:-bench_records/r6_s2split_ab4n_x2304.jsonl}
+REP=${REP:-2304}
+MEM=${MEM:-4096}
+CORES=${CORES:-8}
+TMO=${TMO:-2700}
+MINCAL=${MINCAL:-0.93}
+WAITMAX=${WAITMAX:-1800}
+cd /root/repo
+mkdir -p bench_records
+
+probe() {
+  CAL_LO=$CORES CAL_HI=$((CORES*4)) python - <<'PY'
+import multiprocessing as mp, os, time
+def burn(n):
+    x=0
+    for i in range(n): x+=i*i
+    return x
+def run(p,n=8_000_000):
+    t0=time.perf_counter()
+    with mp.Pool(p) as pool: pool.map(burn,[n]*p*4)
+    return time.perf_counter()-t0
+lo=int(os.environ["CAL_LO"]); hi=int(os.environ["CAL_HI"])
+tl=run(lo); th=run(hi)
+print(f"{(hi*4/th)/(lo*4/tl)/4:.3f}")
+PY
+}
+
+run_cfg() {  # $1 = tag, $2 = s2split mode
+  line=$(SPARK_GRAFT_EXECUTORS=4 SPARK_GRAFT_EXEC_CORES=$CORES \
+    SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=$MEM \
+    SPARK_GRAFT_SCALE_OPS=knn SPARK_GRAFT_QUERY_REP=1 \
+    SPARK_GRAFT_KNN_S2SPLIT=$2 \
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    timeout $TMO python bench.py --scaling-one 2>/tmp/s2ab_$1.err | tail -1)
+  cal_after=$(probe)
+  if [ -n "$line" ]; then
+    echo "{\"tag\": \"$1\", \"cal_after\": $cal_after, ${line#\{}" >> $OUT
+  else
+    echo "{\"tag\": \"$1\", \"cal_after\": $cal_after, \"error\": \"empty/timeout\"}" >> $OUT
+  fi
+  echo "$1 done (cal_after=$cal_after)"
+}
+
+waited=0
+cal=$(probe)
+while python -c "import sys; sys.exit(0 if float('$cal') < $MINCAL else 1)" && [ $waited -lt $WAITMAX ]; do
+  sleep 60; waited=$((waited+60)); cal=$(probe)
+done
+echo "{\"window\": {\"cal\": $cal, \"waited_s\": $waited}}" >> $OUT
+
+run_cfg off_a off
+run_cfg doc doc
+run_cfg qid qid
+run_cfg off_b off
+echo DONE

@@ -97,6 +97,28 @@ DEFAULT_K = 10
 # done in stage 1).
 KNN_SAMPLE_MOD = 8
 
+# kNN stage-2 hot-cell split (VERDICT r5 item: the stage-2 probe of a
+# dense cell is one task — max task 30 s vs p50 6 s at 1.05B-row gate
+# density).  Cells whose histogram count exceeds KNN_S2SPLIT_THRESH
+# have their stage-2 probe spread over ceil(count/thresh) (capped)
+# sub-tasks keyed by an extra `csplit` join column; stage 1 is
+# untouched, so the stage-1 pre-rank-per-slice blowup that killed
+# uniform salt (bench_records/r5_ab4n_x2304.jsonl) cannot occur.  Two
+# split shapes, both bit-exact (tests/test_knn_paths.py):
+#   "doc": hot points partition by pmod(xxhash64(doc_key), n) — no
+#          point replication; the (small) cover side of hot cells
+#          replicates n times; the stage-2 pre-rank keeps <= n*k rows
+#          per (cell, qid) — negligible at stage-2 volumes.
+#   "qid": cover rows hash by qid — pre-rank groups are unchanged, but
+#          hot points replicate n times into the stage-2 exchange.
+#   "off": incumbent single-task-per-cell probe.
+# Default "off" pending the gate A/B (the threshold never triggers at
+# sf0.1 scale anyway: max cell there is ~1k rows).
+KNN_S2SPLIT = _os.environ.get("SPARK_GRAFT_KNN_S2SPLIT", "off")
+KNN_S2SPLIT_THRESH = int(_os.environ.get(
+    "SPARK_GRAFT_KNN_S2SPLIT_THRESH", "500000"))
+KNN_S2SPLIT_CAP = int(_os.environ.get("SPARK_GRAFT_KNN_S2SPLIT_CAP", "8"))
+
 # --- training-data pipeline constants (shared Spark/DuckDB) -------------
 # 31-bit modulus used ONLY for MinHash permutation slots and band mixing
 # (sketch width, where collisions are by-design noise, not merges).

@@ -75,6 +75,30 @@ def test_uniform_salt_identical(spark, sf_correct):
                           cache_input=False), base)
 
 
+def test_s2split_modes_identical_and_nonvacuous(spark, sf_correct):
+    """Stage-2 hot-cell split (VERDICT r5 item 2): both split shapes —
+    "doc" (hot points partitioned by doc_key hash, cover replicated)
+    and "qid" (cover hashed by qid, hot points replicated) — must be
+    bit-exact against the unsplit join.  thresh=3 makes nearly every
+    occupied cell "hot" at sf0.01 (median cell ~11 rows), so the split
+    branch carries almost all of the stage-2 probe (non-vacuous)."""
+    from spatialgraft import config as C
+    from spatialgraft.cells import with_cell
+    pts = with_geometry(datagen.documents_spans(spark, sf_correct))
+    qs = datagen.knn_queries(spark, sf_correct).limit(300)
+    # non-vacuity: the fixture must have cells over the test threshold
+    mx = (with_cell(pts.select("mx", "my")).groupBy("cell").count()
+          .agg(F.max("count")).collect()[0][0])
+    assert mx > 3 * C.KNN_S2SPLIT_CAP, "fixture too sparse to split"
+    base = knn_join(pts, qs, k=10, materialize=True)
+    for mode in ("doc", "qid"):
+        _assert_same(knn_join(pts, qs, k=10, materialize=True,
+                              s2split=mode, s2split_thresh=3), base)
+    # composes with the salted (cell, salt) stage keys
+    _assert_same(knn_join(pts, qs, k=10, materialize=True, salt=4,
+                          s2split="doc", s2split_thresh=3), base)
+
+
 def test_sampling_short_circuit_identical(spark, sf_smoke, monkeypatch):
     # the same input answered through both stage-1 regimes — sampling
     # forced on (threshold 0 via KNN_SAMPLE_MOD=1 -> every cell with
