@@ -33,6 +33,18 @@ import os as _os
 
 CELL_CX = int(_os.environ.get("SPARK_GRAFT_CELL_CX", "256"))
 CELL_CY = int(_os.environ.get("SPARK_GRAFT_CELL_CY", "128"))
+# Validate the overrides up front (ADVICE r5): a non-positive dimension
+# breaks the div/pmod cell arithmetic silently, and a grid beyond 2^26
+# cells overruns the O(#cells) driver structures (histogram, SAT,
+# partition map) the design budgets for.  Non-power-of-two dims are
+# fine — the SAT expand radii derive from bit_length and span any grid.
+if CELL_CX < 1 or CELL_CY < 1:
+    raise ValueError(
+        f"SPARK_GRAFT_CELL_CX/_CY must be >= 1, got {CELL_CX}x{CELL_CY}")
+if CELL_CX * CELL_CY > 1 << 26:
+    raise ValueError(
+        f"grid {CELL_CX}x{CELL_CY} exceeds 2^26 cells — per-cell driver "
+        "structures are O(#cells); use a coarser grid")
 N_CELLS = CELL_CX * CELL_CY
 
 # Tile level for raster<->vector tile assignment (finer than join cells).
@@ -114,10 +126,16 @@ KNN_SAMPLE_MOD = 8
 #   "off": incumbent single-task-per-cell probe.
 # Default "off" pending the gate A/B (the threshold never triggers at
 # sf0.1 scale anyway: max cell there is ~1k rows).
-KNN_S2SPLIT = _os.environ.get("SPARK_GRAFT_KNN_S2SPLIT", "off")
+KNN_S2SPLIT = _os.environ.get("SPARK_GRAFT_KNN_S2SPLIT", "off").lower()
 KNN_S2SPLIT_THRESH = int(_os.environ.get(
     "SPARK_GRAFT_KNN_S2SPLIT_THRESH", "500000"))
 KNN_S2SPLIT_CAP = int(_os.environ.get("SPARK_GRAFT_KNN_S2SPLIT_CAP", "8"))
+if KNN_S2SPLIT not in ("off", "doc", "qid"):
+    raise ValueError(
+        f"SPARK_GRAFT_KNN_S2SPLIT must be off|doc|qid, "
+        f"got {KNN_S2SPLIT!r}")
+if KNN_S2SPLIT_THRESH < 1 or KNN_S2SPLIT_CAP < 1:
+    raise ValueError("SPARK_GRAFT_KNN_S2SPLIT_THRESH/_CAP must be >= 1")
 
 # --- training-data pipeline constants (shared Spark/DuckDB) -------------
 # 31-bit modulus used ONLY for MinHash permutation slots and band mixing

@@ -628,6 +628,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     parquet-backed inputs (sound estimates) keep their unhinted plans
     (tests/test_knn_paths.py::test_lazy_generated_input_never_broadcast).
     """
+    s2mode = (s2split if s2split is not None else C.KNN_S2SPLIT).lower()
+    if s2mode not in ("off", "doc", "qid"):
+        raise ValueError(f"s2split must be off|doc|qid, got {s2split!r}")
     spark = points.sparkSession
     # effective salt multiplier of the multicast sides: with salt=N (or
     # a plan whose hottest cell splits N ways) the ring/cover rows are
@@ -764,7 +767,6 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # driver histogram the eager path already holds, so building the
     # {cell: nsplits} map is free.  Inactive when no cell crosses the
     # threshold (e.g. all of sf0.1: max cell ~1k rows vs 500k default).
-    s2mode = (s2split if s2split is not None else C.KNN_S2SPLIT).lower()
     cover_split = None
     if s2mode in ("doc", "qid"):
         thr = (s2split_thresh if s2split_thresh is not None
