@@ -175,6 +175,15 @@ def _q_media_decode(spark, sf_dir):
     return multimodal.decode_features(multimodal.media_refs(pts))
 
 
+def _q_media_decode_real(spark, sf_dir):
+    """Real stdlib codec path: encode PNG/WAV bytes per doc, ship them
+    through Arrow as a binary column, decode them back, and report the
+    decoded statistics (which the oracle predicts arithmetically)."""
+    from spatialgraft.pipeline import multimodal
+    return multimodal.decode_media(
+        multimodal.synth_media(_points(spark, sf_dir)))
+
+
 def _q_multiget(spark, sf_dir):
     from pyspark.sql import functions as F
     from spatialgraft.ops import misc
@@ -299,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "cosine_dedup": _q_cosine_dedup,
         "media_decode": _q_media_decode,
+        "media_decode_real": _q_media_decode_real,
         "multiget": _q_multiget,
         "nearest_k": _q_nearest_k,
         "count_in_box": _q_count_in_box,

@@ -137,6 +137,20 @@ if KNN_S2SPLIT not in ("off", "doc", "qid"):
 if KNN_S2SPLIT_THRESH < 1 or KNN_S2SPLIT_CAP < 1:
     raise ValueError("SPARK_GRAFT_KNN_S2SPLIT_THRESH/_CAP must be >= 1")
 
+# --- real media codec content (shared Spark-UDF/DuckDB arithmetic) ------
+# Deterministic media payloads for the REAL decode path
+# (pipeline/mediacodec.py): even doc_keys carry a PNG (8-bit greyscale,
+# w = 8 + k%9, h = 8 + (k*3)%9, pixel(i) = (k*PIX_A + i*PIX_B) % 256
+# row-major, row r filtered with PNG filter (k+r) % 5 so every filter
+# type ships in real data); odd doc_keys carry a WAV (16-bit mono PCM,
+# rate 8000 + (k%4)*4000, n = 64 + k%64, sample(i) =
+# (k*AUD_A + i*AUD_B) % 65536 - 32768).  The DuckDB oracle predicts the
+# DECODED statistics from this same arithmetic, so an encode or decode
+# bug in either codec breaks the bit-exact match.
+MEDIA_PIX_A, MEDIA_PIX_B = 2654435761, 40503
+MEDIA_AUD_A, MEDIA_AUD_B = 1103515245, 12345
+MEDIA_MAX_PIXELS = 16 * 16  # w,h <= 16: oracle index-join upper bound
+
 # --- training-data pipeline constants (shared Spark/DuckDB) -------------
 # 31-bit modulus used ONLY for MinHash permutation slots and band mixing
 # (sketch width, where collisions are by-design noise, not merges).

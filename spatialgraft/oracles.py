@@ -271,6 +271,40 @@ def pipeline_oracles() -> dict[str, str]:
             f"CAST((k * {C.PT_A1}) % 256 AS DOUBLE) AS mean_px, "
             "CAST(1 + k % 4 AS INTEGER) AS n_frames "
             f"FROM (SELECT DISTINCT {mk} AS k FROM lineitem) b"),
+        # Predicts the DECODED statistics of the real codec path from
+        # the content arithmetic (config.MEDIA_*) — independent of the
+        # PNG/WAV byte formats, so it cross-checks BOTH codec
+        # directions in mediacodec.py.  The i < n_values index join
+        # replaces a correlated generate_series (unsupported).
+        "media_decode_real": (
+            f"WITH ks AS (SELECT DISTINCT {mk} AS k FROM lineitem), "
+            "idx AS (SELECT i FROM generate_series(0, "
+            f"{C.MEDIA_MAX_PIXELS - 1}) t(i)), "
+            "img AS (SELECT k, 'image' AS kind, "
+            "CAST(8 + k % 9 AS INTEGER) AS width, "
+            "CAST(8 + (k * 3) % 9 AS INTEGER) AS height, "
+            "0 AS sample_rate, "
+            "CAST((8 + k % 9) * (8 + (k * 3) % 9) AS INTEGER) "
+            "AS n_samples, "
+            f"CAST(SUM((k * {C.MEDIA_PIX_A} + i * {C.MEDIA_PIX_B}) "
+            "% 256) AS DOUBLE) / ((8 + k % 9) * (8 + (k * 3) % 9)) "
+            "AS mean_val "
+            "FROM ks JOIN idx ON i < (8 + k % 9) * (8 + (k * 3) % 9) "
+            "WHERE k % 2 = 0 GROUP BY k), "
+            "aud AS (SELECT k, 'audio' AS kind, 0 AS width, "
+            "0 AS height, "
+            "CAST(8000 + (k % 4) * 4000 AS INTEGER) AS sample_rate, "
+            "CAST(64 + k % 64 AS INTEGER) AS n_samples, "
+            f"CAST(SUM((k * {C.MEDIA_AUD_A} + i * {C.MEDIA_AUD_B}) "
+            "% 65536 - 32768) AS DOUBLE) / (64 + k % 64) AS mean_val "
+            "FROM ks JOIN idx ON i < 64 + k % 64 "
+            "WHERE k % 2 = 1 GROUP BY k) "
+            "SELECT k AS doc_key, kind, "
+            "CAST(width AS INTEGER) AS width, "
+            "CAST(height AS INTEGER) AS height, "
+            "CAST(sample_rate AS INTEGER) AS sample_rate, "
+            "n_samples, mean_val FROM "
+            "(SELECT * FROM img UNION ALL SELECT * FROM aud)"),
     }
 
 
