@@ -75,13 +75,24 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
     }), flush=True)
 
+    # every timed rep carries its own hypervisor-steal reading
+    # (/proc/stat field 8 — spatialgraft/steal.py): the co-tenant
+    # contention that swings walls 2-6x here is invisible to guest
+    # load but IS tick-accounted by the kernel.  Measured correlation:
+    # a 29.4 s knn rep read 6.0% steal (16% max 1-s spike) while the
+    # 12.1 s reps in the same session read 0.24-0.31% — so the record
+    # separates engine regressions from stolen windows per-rep.
+    from spatialgraft.steal import StealTrace
     runs: dict[str, list[float]] = {n: [] for n in measured}
+    steals: dict[str, list[float]] = {n: [] for n in measured}
     rows: dict[str, int] = {}
     for _ in range(reps):
         for name in measured:
-            t0 = time.perf_counter()
-            rows[name] = qs[name](spark, sf_dir).count()
-            runs[name].append(round(time.perf_counter() - t0, 3))
+            with StealTrace() as tr:
+                t0 = time.perf_counter()
+                rows[name] = qs[name](spark, sf_dir).count()
+                runs[name].append(round(time.perf_counter() - t0, 3))
+            steals[name].append(tr.summary()["steal_pct"])
 
     medians = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: [min(v), max(v)] for n, v in runs.items()}
@@ -105,6 +116,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "n_docs": int(n_docs),
         "docs_per_sec": round(n_docs * len(headline) / total, 1),
         "result_rows": {n: rows[n] for n in headline},
+        # per-rep hypervisor steal (% of machine, rep-aligned with the
+        # walls behind "spread"): ~0.3% = clean, >2% = stolen window
+        "steal_pct": {n: steals[n] for n in headline},
     }
     if extra:
         out["extra_queries"] = {n: medians[n] for n in extra}
@@ -262,8 +276,10 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
         "range": lambda: range_join_count(
             points(), boxes, broadcast_queries=False).count(),
     }
+    from spatialgraft.steal import StealTrace
     thunks = [all_thunks[o] for o in ops]
     op_walls = {}
+    op_steal = {}
     t0 = time.perf_counter()
     if os.environ.get("SPARK_GRAFT_SCALE_CONC", "0") == "1":
         from concurrent.futures import ThreadPoolExecutor
@@ -272,9 +288,17 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
     else:
         rows = []
         for o, f in zip(ops, thunks):
-            t1 = time.perf_counter()
-            rows.append(f())
-            op_walls[o] = round(time.perf_counter() - t1, 2)
+            # per-op hypervisor-steal reading (spatialgraft/steal.py):
+            # gate walls here have been invalidated by co-tenant bursts
+            # that point-in-time probes missed (BENCH_BASELINE.md r6) —
+            # the in-window tick trace settles it per op
+            with StealTrace() as tr:
+                t1 = time.perf_counter()
+                rows.append(f())
+                op_walls[o] = round(time.perf_counter() - t1, 2)
+            s = tr.summary()
+            op_steal[o] = {"steal_pct": s["steal_pct"],
+                           "steal_max_1s_pct": s["steal_max_1s_pct"]}
     wall = time.perf_counter() - t0
     # replicate is exact row multiplication — no need for another full
     # extraction pass just to count
@@ -296,6 +320,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             "rdd_compress": os.environ.get("SPARK_GRAFT_RDD_COMPRESS",
                                            "false"),
             "op_walls": op_walls or None,
+            "op_steal": op_steal or None,
             # executor shuffle dirs: local-cluster executors take
             # SPARK_LOCAL_DIRS (session.get_spark sets it to the tmpfs
             # dir), NOT spark.local.dir — record which was in effect
