@@ -41,6 +41,22 @@ if [ "${EVLOG:-0}" = "1" ]; then
   export SPARK_CONF_DIR=/tmp/sparkconf
 fi
 
+# 30-s hypervisor-steal reading (% of machine, /proc/stat field 8) —
+# the r6 tick-accounting discovery (spatialgraft/steal.py): cheaper
+# than the busy-loop probe, measures the thief directly, and matches
+# the per-op steal_pct now recorded inside every level.
+steal30() {
+  python - <<'PY'
+import time
+def t():
+    with open("/proc/stat") as f: p=f.readline().split()
+    return int(p[8]), time.time()
+s1,w1=t(); time.sleep(30); s2,w2=t()
+import os
+print(f"{100.0*(s2-s1)/((w2-w1)*(os.cpu_count() or 1)*os.sysconf('SC_CLK_TCK')):.2f}")
+PY
+}
+
 probe() {
   CAL_LO=$CORES CAL_HI=$((CORES*4)) python - <<'PY'
 import multiprocessing as mp, os, time
@@ -66,11 +82,16 @@ level() {  # $1 = executor count
   timeout $TMO python bench.py --scaling-one 2>/tmp/gate_$1.err | tail -1
 }
 
+# window gate: ambient steal must read < MAXSTEAL% over 30 s AND the
+# busy-loop probe must pass — the steal check catches thieves the
+# point-probe integrates away, the probe catches CPU caps that don't
+# surface as steal ticks
+MAXSTEAL=${MAXSTEAL:-1.0}
 for i in $(seq 1 $PAIRS); do
   waited=0
-  cal=$(probe)
-  while python -c "import sys; sys.exit(0 if float('$cal') < $MINCAL else 1)" && [ $waited -lt $WAITMAX ]; do
-    sleep 60; waited=$((waited+60)); cal=$(probe)
+  st=$(steal30); cal=$(probe)
+  while python -c "import sys; sys.exit(0 if (float('$cal') < $MINCAL or float('$st') > $MAXSTEAL) else 1)" && [ $waited -lt $WAITMAX ]; do
+    sleep 30; waited=$((waited+60)); st=$(steal30); cal=$(probe)
   done
   this_order=$ORDER
   if [ "$ORDER" = "alt" ]; then
@@ -83,5 +104,5 @@ for i in $(seq 1 $PAIRS); do
     first=$(level 1); calmid=$(probe); second=$(level 4)
     n1=$first; n4=$second
   fi
-  echo "{\"pair\": $i, \"order\": \"$this_order\", \"ops\": \"$SCALE_OPS\", \"rep\": $REP, \"qrep\": $SPARK_GRAFT_QUERY_REP, \"cores_per_exec\": $CORES, \"cpu_calibration_prefirst\": $cal, \"cpu_calibration_mid\": $calmid, \"waited_for_window_s\": $waited, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
+  echo "{\"pair\": $i, \"order\": \"$this_order\", \"ops\": \"$SCALE_OPS\", \"rep\": $REP, \"qrep\": $SPARK_GRAFT_QUERY_REP, \"cores_per_exec\": $CORES, \"cpu_calibration_prefirst\": $cal, \"steal30_prefirst_pct\": $st, \"cpu_calibration_mid\": $calmid, \"waited_for_window_s\": $waited, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
 done
