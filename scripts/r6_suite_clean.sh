@@ -1,18 +1,32 @@
 #!/bin/bash
 # Round-6 clean-window sf0.1 suite record (VERDICT r5 item 6).  Loops:
-# probe the co-tenant CPU-scaling calibration; when the window is clean
-# (cal >= MINCAL) AND no other Spark JVM is running (the r5 protocol
-# lesson: a watcher that fired mid-gate contaminated a grid A/B — one
-# Spark JVM at a time, ever), run the headline suite once and append
-# the record line + calibration to $OUT.  Stops after MAXRUNS in-window
-# records or BUDGET seconds.
+# read the ambient hypervisor steal over 30 s (/proc/stat field 8 —
+# the r6 tick-accounting discovery, spatialgraft/steal.py); when it is
+# quiet (< MAXSTEAL %) AND the busy-loop calibration passes AND no
+# other Spark JVM is running (the r5 protocol lesson: one Spark JVM at
+# a time, ever), run the headline suite once and append the record
+# line + window readings to $OUT.  bench.py now also stamps per-rep
+# steal_pct inside the line, so a window that collapses mid-suite
+# self-labels instead of needing the after-probe to catch it.
 set -u
 OUT=${OUT:-bench_records/r6_sf01_suite_clean.jsonl}
-MINCAL=${MINCAL:-0.93}
+MINCAL=${MINCAL:-0.90}
+MAXSTEAL=${MAXSTEAL:-0.7}
 MAXRUNS=${MAXRUNS:-2}
 BUDGET=${BUDGET:-7200}
 cd /root/repo
 mkdir -p bench_records
+
+steal30() {
+  python - <<'PY'
+import os, time
+def t():
+    with open("/proc/stat") as f: p = f.readline().split()
+    return int(p[8]), time.time()
+s1, w1 = t(); time.sleep(30); s2, w2 = t()
+print(f"{100.0*(s2-s1)/((w2-w1)*(os.cpu_count() or 1)*os.sysconf('SC_CLK_TCK')):.2f}")
+PY
+}
 
 probe() {
   python - <<'PY'
@@ -36,18 +50,24 @@ while [ $runs -lt $MAXRUNS ] && [ $(( $(date +%s) - t0 )) -lt $BUDGET ]; do
   if pgrep -f "org.apache.spark" > /dev/null || pgrep -f "scaling-one" > /dev/null; then
     sleep 120; continue
   fi
-  cal=$(probe)
-  if python -c "import sys; sys.exit(0 if float('$cal') >= $MINCAL else 1)"; then
-    line=$(timeout 900 python bench.py 2>/tmp/r6_suite.err | tail -1)
-    cal_after=$(probe)
-    if [ -n "$line" ]; then
-      echo "{\"cal_before\": $cal, \"cal_after\": $cal_after, ${line#\{}" >> $OUT
-      runs=$((runs+1))
-      echo "recorded run $runs (cal $cal -> $cal_after)"
+  st=$(steal30)
+  if python -c "import sys; sys.exit(0 if float('$st') <= $MAXSTEAL else 1)"; then
+    cal=$(probe)
+    if python -c "import sys; sys.exit(0 if float('$cal') >= $MINCAL else 1)"; then
+      line=$(timeout 900 python bench.py 2>/tmp/r6_suite.err | tail -1)
+      st_after=$(steal30)
+      if [ -n "$line" ]; then
+        echo "{\"steal30_before\": $st, \"cal_before\": $cal, \"steal30_after\": $st_after, ${line#\{}" >> $OUT
+        runs=$((runs+1))
+        echo "recorded run $runs (steal $st -> $st_after, cal $cal)"
+      fi
+    else
+      echo "steal quiet ($st) but probe dirty (cal=$cal), waiting"
+      sleep 60
     fi
   else
-    echo "dirty window (cal=$cal), waiting"
-    sleep 90
+    echo "ambient steal $st% > $MAXSTEAL%, waiting"
+    sleep 60
   fi
 done
 echo DONE
