@@ -57,6 +57,13 @@ print(f"{100.0*(s2-s1)/((w2-w1)*(os.cpu_count() or 1)*os.sysconf('SC_CLK_TCK')):
 PY
 }
 
+# memory-bus probe (spatialgraft/membw.py): the third contention
+# channel — a co-tenant streaming the bus throttles the bus-bound 4N
+# kNN while steal ticks AND the ALU probe read clean (the r6 4N-kNN
+# anomaly's candidate signature).  Aggregate triad GB/s at 2 and 8
+# procs; on this box a quiet bus reads ~26 / ~93 GB/s (r6 reference).
+membw() { python -m spatialgraft.membw 2 8; }
+
 probe() {
   CAL_LO=$CORES CAL_HI=$((CORES*4)) python - <<'PY'
 import multiprocessing as mp, os, time
@@ -97,12 +104,14 @@ for i in $(seq 1 $PAIRS); do
   if [ "$ORDER" = "alt" ]; then
     if [ $((i % 2)) -eq 1 ]; then this_order=4nfirst; else this_order=nfirst; fi
   fi
+  bw0=$(membw)
   if [ "$this_order" = "4nfirst" ]; then
-    first=$(level 4); calmid=$(probe); second=$(level 1)
+    first=$(level 4); bwmid=$(membw); calmid=$(probe); second=$(level 1)
     n4=$first; n1=$second
   else
-    first=$(level 1); calmid=$(probe); second=$(level 4)
+    first=$(level 1); bwmid=$(membw); calmid=$(probe); second=$(level 4)
     n1=$first; n4=$second
   fi
-  echo "{\"pair\": $i, \"order\": \"$this_order\", \"ops\": \"$SCALE_OPS\", \"rep\": $REP, \"qrep\": $SPARK_GRAFT_QUERY_REP, \"cores_per_exec\": $CORES, \"cpu_calibration_prefirst\": $cal, \"steal30_prefirst_pct\": $st, \"cpu_calibration_mid\": $calmid, \"waited_for_window_s\": $waited, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
+  bw1=$(membw)
+  echo "{\"pair\": $i, \"order\": \"$this_order\", \"ops\": \"$SCALE_OPS\", \"rep\": $REP, \"qrep\": $SPARK_GRAFT_QUERY_REP, \"cores_per_exec\": $CORES, \"cpu_calibration_prefirst\": $cal, \"steal30_prefirst_pct\": $st, \"cpu_calibration_mid\": $calmid, \"waited_for_window_s\": $waited, \"membw_pre\": $bw0, \"membw_mid\": $bwmid, \"membw_post\": $bw1, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
 done
