@@ -90,15 +90,22 @@ level() {  # $1 = executor count
 }
 
 # window gate: ambient steal must read < MAXSTEAL% over 30 s AND the
-# busy-loop probe must pass — the steal check catches thieves the
-# point-probe integrates away, the probe catches CPU caps that don't
-# surface as steal ticks
+# busy-loop probe must pass AND the 8-proc triad bandwidth must read
+# >= MINBW GB/s — the steal check catches thieves the point-probe
+# integrates away, the probe catches CPU caps that don't surface as
+# steal ticks, and the bandwidth floor catches the BUS thief that
+# passes both (the r6 adjudication: 4N kNN walls of 508-861 s vs 240 s
+# clean, with steal <= 2%, cal >= 0.93, and membw p8 swinging
+# 105 -> 23 GB/s on the same afternoon — the same leg at two checkouts
+# read 508.13 vs 508.63 s back-to-back, pinning every slow reading on
+# the bus, not the code)
 MAXSTEAL=${MAXSTEAL:-1.0}
+MINBW=${MINBW:-85}
 for i in $(seq 1 $PAIRS); do
   waited=0
-  st=$(steal30); cal=$(probe)
-  while python -c "import sys; sys.exit(0 if (float('$cal') < $MINCAL or float('$st') > $MAXSTEAL) else 1)" && [ $waited -lt $WAITMAX ]; do
-    sleep 30; waited=$((waited+60)); st=$(steal30); cal=$(probe)
+  st=$(steal30); cal=$(probe); bw=$(python -m spatialgraft.membw 8 | python -c "import json,sys; print(json.load(sys.stdin)['membw_p8_gbs'])")
+  while python -c "import sys; sys.exit(0 if (float('$cal') < $MINCAL or float('$st') > $MAXSTEAL or float('$bw') < $MINBW) else 1)" && [ $waited -lt $WAITMAX ]; do
+    sleep 30; waited=$((waited+60)); st=$(steal30); cal=$(probe); bw=$(python -m spatialgraft.membw 8 | python -c "import json,sys; print(json.load(sys.stdin)['membw_p8_gbs'])")
   done
   this_order=$ORDER
   if [ "$ORDER" = "alt" ]; then
@@ -113,5 +120,5 @@ for i in $(seq 1 $PAIRS); do
     n1=$first; n4=$second
   fi
   bw1=$(membw)
-  echo "{\"pair\": $i, \"order\": \"$this_order\", \"ops\": \"$SCALE_OPS\", \"rep\": $REP, \"qrep\": $SPARK_GRAFT_QUERY_REP, \"cores_per_exec\": $CORES, \"cpu_calibration_prefirst\": $cal, \"steal30_prefirst_pct\": $st, \"cpu_calibration_mid\": $calmid, \"waited_for_window_s\": $waited, \"membw_pre\": $bw0, \"membw_mid\": $bwmid, \"membw_post\": $bw1, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
+  echo "{\"pair\": $i, \"order\": \"$this_order\", \"ops\": \"$SCALE_OPS\", \"rep\": $REP, \"qrep\": $SPARK_GRAFT_QUERY_REP, \"cores_per_exec\": $CORES, \"cpu_calibration_prefirst\": $cal, \"steal30_prefirst_pct\": $st, \"cpu_calibration_mid\": $calmid, \"waited_for_window_s\": $waited, \"membw_gate_p8\": $bw, \"membw_pre\": $bw0, \"membw_mid\": $bwmid, \"membw_post\": $bw1, \"N\": ${n1:-null}, \"4N\": ${n4:-null}}" >> $OUT
 done
