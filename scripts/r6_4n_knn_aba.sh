@@ -27,7 +27,14 @@ cd /root/repo
 while pgrep -f "bench.py --scaling" > /dev/null; do sleep 60; done
 
 leg() {  # $1 = checkout dir, $2 = label
+  # per-leg Spark event log (scripts/evparse.py decomposes it): the
+  # point of the ABA is WHERE the slow leg's wall goes, not just that
+  # it is slow
+  mkdir -p /tmp/sparkconf_aba_$2 /tmp/evlog_aba_$2
+  printf 'spark.eventLog.enabled true\nspark.eventLog.dir file:///tmp/evlog_aba_%s\n' "$2" \
+    > /tmp/sparkconf_aba_$2/spark-defaults.conf
   ( cd "$1" && \
+    SPARK_CONF_DIR=/tmp/sparkconf_aba_$2 \
     SPARK_GRAFT_EXECUTORS=4 SPARK_GRAFT_EXEC_CORES=2 \
     SPARK_GRAFT_REPLICATE=$REP SPARK_GRAFT_EXEC_MEM_MB=4096 \
     SPARK_GRAFT_SCALE_OPS=knn SPARK_GRAFT_QUERY_REP=1 \
