@@ -12,6 +12,7 @@ set -u
 OUT=${OUT:-bench_records/r6_sf01_suite_clean.jsonl}
 MINCAL=${MINCAL:-0.90}
 MAXSTEAL=${MAXSTEAL:-0.7}
+MINBW=${MINBW:-85}
 MAXRUNS=${MAXRUNS:-2}
 BUDGET=${BUDGET:-7200}
 cd /root/repo
@@ -53,16 +54,20 @@ while [ $runs -lt $MAXRUNS ] && [ $(( $(date +%s) - t0 )) -lt $BUDGET ]; do
   st=$(steal30)
   if python -c "import sys; sys.exit(0 if float('$st') <= $MAXSTEAL else 1)"; then
     cal=$(probe)
-    if python -c "import sys; sys.exit(0 if float('$cal') >= $MINCAL else 1)"; then
+    # bandwidth floor (the r6 adjudication: the bus thief passes both
+    # the steal and ALU gates — gate_pairs.sh MINBW, same threshold)
+    bw=$(python -m spatialgraft.membw 8 | python -c "import json,sys; print(json.load(sys.stdin)['membw_p8_gbs'])")
+    if python -c "import sys; sys.exit(0 if (float('$cal') >= $MINCAL and float('$bw') >= $MINBW) else 1)"; then
       line=$(timeout 900 python bench.py 2>/tmp/r6_suite.err | tail -1)
       st_after=$(steal30)
+      bw_after=$(python -m spatialgraft.membw 8 | python -c "import json,sys; print(json.load(sys.stdin)['membw_p8_gbs'])")
       if [ -n "$line" ]; then
-        echo "{\"steal30_before\": $st, \"cal_before\": $cal, \"steal30_after\": $st_after, ${line#\{}" >> $OUT
+        echo "{\"steal30_before\": $st, \"cal_before\": $cal, \"membw_p8_before\": $bw, \"steal30_after\": $st_after, \"membw_p8_after\": $bw_after, ${line#\{}" >> $OUT
         runs=$((runs+1))
-        echo "recorded run $runs (steal $st -> $st_after, cal $cal)"
+        echo "recorded run $runs (steal $st -> $st_after, cal $cal, bw $bw -> $bw_after)"
       fi
     else
-      echo "steal quiet ($st) but probe dirty (cal=$cal), waiting"
+      echo "steal quiet ($st) but probe dirty (cal=$cal, bw=$bw), waiting"
       sleep 60
     fi
   else
