@@ -83,6 +83,15 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # 12.1 s reps in the same session read 0.24-0.31% — so the record
     # separates engine regressions from stolen windows per-rep.
     from spatialgraft.steal import StealTrace
+    # ... and the record line brackets the measured region with a
+    # memory-bus reading (spatialgraft/membw.py): the round-6
+    # adjudication pinned every anomalous wide wall on a bus co-tenant
+    # that steal ticks and CPU calibration both miss (quiet ~93 GB/s
+    # at 8 procs on this box, observed as low as 23).  Bracketing, not
+    # per-rep: the probe itself streams the bus for ~2 s, so running it
+    # inside the rep loop would contaminate the walls it annotates.
+    from spatialgraft import membw
+    bw_pre = membw.probe(8)
     runs: dict[str, list[float]] = {n: [] for n in measured}
     steals: dict[str, list[float]] = {n: [] for n in measured}
     rows: dict[str, int] = {}
@@ -94,6 +103,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
                 runs[name].append(round(time.perf_counter() - t0, 3))
             steals[name].append(tr.summary()["steal_pct"])
 
+    bw_post = membw.probe(8)
     medians = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: [min(v), max(v)] for n, v in runs.items()}
     total = round(sum(medians[n] for n in headline), 3)
@@ -119,6 +129,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         # per-rep hypervisor steal (% of machine, rep-aligned with the
         # walls behind "spread"): ~0.3% = clean, >2% = stolen window
         "steal_pct": {n: steals[n] for n in headline},
+        # memory-bus triad GB/s bracketing the measured region
+        # ([before, after]; quiet ~93 on this box): a post reading far
+        # below pre flags a window that collapsed mid-suite
+        "membw_p8_gbs": [bw_pre, bw_post],
     }
     if extra:
         out["extra_queries"] = {n: medians[n] for n in extra}
@@ -277,9 +291,14 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             points(), boxes, broadcast_queries=False).count(),
     }
     from spatialgraft.steal import StealTrace
+    from spatialgraft import membw
     thunks = [all_thunks[o] for o in ops]
     op_walls = {}
     op_steal = {}
+    # bracket the leg with bus readings (round-6 adjudication: the bus
+    # co-tenant is the contention channel steal ticks miss); the probe
+    # streams the bus itself, so it runs outside the timed region only
+    bw_pre = membw.probe(8)
     t0 = time.perf_counter()
     if os.environ.get("SPARK_GRAFT_SCALE_CONC", "0") == "1":
         from concurrent.futures import ThreadPoolExecutor
@@ -300,6 +319,7 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
             op_steal[o] = {"steal_pct": s["steal_pct"],
                            "steal_max_1s_pct": s["steal_max_1s_pct"]}
     wall = time.perf_counter() - t0
+    bw_post = membw.probe(8)
     # replicate is exact row multiplication — no need for another full
     # extraction pass just to count
     n_docs = base.count() * max(1, replicate)
@@ -321,6 +341,9 @@ def run_scaling_workload(sf_dir: str, n_executors: int,
                                            "false"),
             "op_walls": op_walls or None,
             "op_steal": op_steal or None,
+            # memory-bus triad GB/s bracketing the leg ([before,
+            # after]; quiet ~93 at 8 procs on this box)
+            "membw_p8_gbs": [bw_pre, bw_post],
             # executor shuffle dirs: local-cluster executors take
             # SPARK_LOCAL_DIRS (session.get_spark sets it to the tmpfs
             # dir), NOT spark.local.dir — record which was in effect
