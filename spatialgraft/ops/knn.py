@@ -611,7 +611,13 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     cache WINNING despite its build being 57% of the N wall: uncached
     walls were 139.7 -> 206.4 s at 4N and ~2x at N
     (bench_records/r5_ab4n_x2304.jsonl).  Keep the default unless the
-    cache itself cannot fit executor storage+disk.  The cache also
+    cache itself cannot fit executor storage+disk.  Executor SIZING
+    matters as much as the flag: when the slim cache does not fit the
+    aggregate heap, eviction (even to tmpfs disk) cost a measured
+    +29% on the join wall at the same gate (240.4 vs 188.2 s with
+    8 GiB executors, certified clean windows, r6_knn_floor_4n_evlog
+    .jsonl) — budget executor memory for the ~24 B/row slim cache
+    PLUS the working set of whatever shares the session.  The cache also
     carries accurate InMemoryRelation stats — on exploded/generated
     lineage whose static Catalyst estimate misses the multiplicity,
     the uncached plan can auto-broadcast a huge side (the lazy-path
