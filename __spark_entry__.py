@@ -24,8 +24,20 @@ from spatialgraft.extract import with_geometry  # noqa: E402
 from spatialgraft.oracles import HOTSPOT  # noqa: E402
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_geometry(datagen.documents_spans(spark, sf_dir))
+def _points(spark: SparkSession, sf_dir: str,
+            cols: list[str] | None = None) -> DataFrame:
+    """Full engine path: synthesize spans table -> Arrow extraction.
+
+    cols: output projection through the Python boundary (guide §4.1 —
+    Catalyst cannot prune columns through mapInArrow, so each query
+    declares what it consumes; the parse + span validation run
+    unchanged).  None keeps the historical full-width output."""
+    return with_geometry(datagen.documents_spans(spark, sf_dir),
+                         columns=cols)
+
+
+# the minimal projection every pure-spatial operator consumes
+_SLIM = ["doc_key", "mx", "my"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,32 +52,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_range_join_count(spark, sf_dir):
     from spatialgraft.ops import range as rops
-    return rops.range_join_count(_points(spark, sf_dir),
+    return rops.range_join_count(_points(spark, sf_dir, _SLIM),
                                  datagen.query_boxes(spark, sf_dir))
 
 
 def _q_range_join_pairs(spark, sf_dir):
     from spatialgraft.ops import range as rops
-    return rops.range_join(_points(spark, sf_dir),
+    return rops.range_join(_points(spark, sf_dir, _SLIM),
                            datagen.query_boxes(spark, sf_dir))
 
 
 def _q_range_filter(spark, sf_dir):
     from spatialgraft.ops import range as rops
-    return rops.range_filter(_points(spark, sf_dir), *HOTSPOT).select(
+    return rops.range_filter(_points(spark, sf_dir, _SLIM), *HOTSPOT).select(
         "doc_key", "mx", "my")
 
 
 def _q_spatio_textual(spark, sf_dir):
     from spatialgraft.ops import range as rops
     return rops.spatio_textual_filter(
-        _points(spark, sf_dir), *HOTSPOT, "flag R").select("doc_key")
+        _points(spark, sf_dir, _SLIM + ["text"]), *HOTSPOT,
+        "flag R").select("doc_key")
 
 
 def _q_knn_join(spark, sf_dir):
     from spatialgraft.ops import knn as kops
     # driver/bench path: materialize eagerly so intermediates unpersist
-    return kops.knn_join(_points(spark, sf_dir),
+    return kops.knn_join(_points(spark, sf_dir, _SLIM),
                          datagen.knn_queries(spark, sf_dir), k=C.DEFAULT_K,
                          materialize=True)
 
@@ -74,14 +87,14 @@ def _q_knn_k150(spark, sf_dir):
     """Reference-scale k: LocationSpark's own benchmarks sweep k up to
     200 (reference README.md:51, testNestLoopKnnJoin.scala:89-103)."""
     from spatialgraft.ops import knn as kops
-    return kops.knn_join(_points(spark, sf_dir),
+    return kops.knn_join(_points(spark, sf_dir, _SLIM),
                          datagen.knn_queries(spark, sf_dir), k=150,
                          materialize=True)
 
 
 def _q_pip_join_count(spark, sf_dir):
     from spatialgraft.ops import pip as pops
-    return pops.pip_join_count(_points(spark, sf_dir),
+    return pops.pip_join_count(_points(spark, sf_dir, _SLIM),
                                datagen.polygons(spark, sf_dir))
 
 
@@ -91,12 +104,13 @@ def _q_pip_concave(spark, sf_dir):
     point-in-polygon (the convex fast path stays for fixed rings)."""
     from spatialgraft.ops import pip as pops
     return pops.pip_join_concave_count(
-        _points(spark, sf_dir), datagen.polygons_concave(spark, sf_dir))
+        _points(spark, sf_dir, _SLIM),
+        datagen.polygons_concave(spark, sf_dir))
 
 
 def _q_tiles_points(spark, sf_dir):
     from spatialgraft.ops import tiles as tops
-    return tops.assign_tiles_points(_points(spark, sf_dir))
+    return tops.assign_tiles_points(_points(spark, sf_dir, _SLIM))
 
 
 def _q_tiles_boxes(spark, sf_dir):
@@ -171,7 +185,7 @@ def _q_cosine_dedup(spark, sf_dir):
 
 def _q_media_decode(spark, sf_dir):
     from spatialgraft.pipeline import multimodal
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir, ["doc_key", "spans"])
     return multimodal.decode_features(multimodal.media_refs(pts))
 
 
@@ -181,13 +195,13 @@ def _q_media_decode_real(spark, sf_dir):
     decoded statistics (which the oracle predicts arithmetically)."""
     from spatialgraft.pipeline import multimodal
     return multimodal.decode_media(
-        multimodal.synth_media(_points(spark, sf_dir)))
+        multimodal.synth_media(_points(spark, sf_dir, ["doc_key"])))
 
 
 def _q_multiget(spark, sf_dir):
     from pyspark.sql import functions as F
     from spatialgraft.ops import misc
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir, _SLIM)
     keys = (pts.where(F.col("doc_key") % 97 == 0)
             .selectExpr("mx AS kmx", "my AS kmy"))
     return misc.multiget(pts, keys)
@@ -195,22 +209,24 @@ def _q_multiget(spark, sf_dir):
 
 def _q_nearest_k(spark, sf_dir):
     from spatialgraft.ops import misc
-    return misc.nearest_k(_points(spark, sf_dir), 160000, 105000, 25)
+    return misc.nearest_k(_points(spark, sf_dir, ["doc_key", "x", "y"]),
+                          160000, 105000, 25)
 
 
 def _q_count_in_box(spark, sf_dir):
     from spatialgraft.ops import misc
-    return misc.count_in_box(_points(spark, sf_dir), *HOTSPOT)
+    return misc.count_in_box(_points(spark, sf_dir, ["mx", "my"]),
+                             *HOTSPOT)
 
 
 def _q_cell_histogram(spark, sf_dir):
     from spatialgraft.ops import misc
-    return misc.cell_histogram(_points(spark, sf_dir))
+    return misc.cell_histogram(_points(spark, sf_dir, ["mx", "my"]))
 
 
 def _q_to_wkt(spark, sf_dir):
     from spatialgraft.ops import misc
-    return misc.to_wkt(_points(spark, sf_dir))
+    return misc.to_wkt(_points(spark, sf_dir, ["doc_key", "x", "y"]))
 
 
 def _q_intersects_join(spark, sf_dir):
@@ -222,7 +238,7 @@ def _q_intersects_join(spark, sf_dir):
 def _q_multiput_get(spark, sf_dir):
     from pyspark.sql import functions as F
     from spatialgraft.ops import misc
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir, _SLIM)
     base = pts.selectExpr("mx", "my", "CAST(1 AS BIGINT) AS v")
     upd = pts.where("doc_key % 97 = 0").selectExpr(
         "mx", "my", "CAST(100 AS BIGINT) AS v")
@@ -233,7 +249,7 @@ def _q_multiput_get(spark, sf_dir):
 
 def _q_spatio_textual_knn(spark, sf_dir):
     from spatialgraft.ops import knn as kops
-    return kops.knn_join(_points(spark, sf_dir),
+    return kops.knn_join(_points(spark, sf_dir, _SLIM + ["text"]),
                          datagen.knn_queries(spark, sf_dir), k=5,
                          pred="lower(text) LIKE '%flag r%'",
                          materialize=True)
@@ -242,7 +258,7 @@ def _q_spatio_textual_knn(spark, sf_dir):
 def _q_range_join_count_salted(spark, sf_dir):
     from spatialgraft.ops import range as rops
     from spatialgraft.partitioner import plan_partitions
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir, _SLIM)
     plan = plan_partitions(pts.select("doc_key", "mx", "my"))
     return rops.range_join_count_salted(
         pts, datagen.query_boxes(spark, sf_dir), plan)
@@ -262,7 +278,8 @@ def _q_range_filter_indexed(spark, sf_dir):
     from spatialgraft import index
     path = _session_tmp(spark, "idx", sf_dir) + "/pts"
     index.write_indexed(
-        _points(spark, sf_dir).select("doc_key", "mx", "my"), path)
+        _points(spark, sf_dir, _SLIM).select("doc_key", "mx", "my"),
+        path)
     return index.range_filter_indexed(spark, path, *HOTSPOT).select(
         "doc_key", "mx", "my")
 

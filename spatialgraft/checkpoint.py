@@ -153,7 +153,12 @@ def checkpointed_range_join(spark: SparkSession, sf_dir: str,
     cm = CheckpointManager(root)
 
     def build_points():
-        pts = with_geometry(datagen.documents_spans(spark, sf_dir))
+        # project to what the join stage consumes BEFORE the snapshot
+        # write (guide §2.3/§6): the stage parquet carries 4 int64
+        # columns instead of the full spans payload; extraction/
+        # validation and the committed row set are unchanged
+        pts = with_geometry(datagen.documents_spans(spark, sf_dir),
+                            columns=["doc_key", "mx", "my"])
         return with_cell(pts)
 
     s1 = cm.run_stage(spark, "points_extracted", build_points,

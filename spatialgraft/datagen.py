@@ -38,14 +38,27 @@ def documents_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     must recover it through the vectorized Arrow extractor
     (:func:`spatialgraft.extract.with_geometry`).
     """
-    # Round-robin repartition to full parallelism: the driver's parquet is
-    # one small file (2-3 scan splits) and AQE coalesces the DISTINCT
-    # shuffle to match data size, which would starve the CPU-bound Arrow
-    # extraction stage downstream.  Explicit repartition(n) is exempt from
-    # AQE coalescing.  (A production Iceberg source has real file splits
-    # and would skip this.)
-    pts = points_raw(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism)
+    # One slim shuffle to full parallelism (optimization guide §2.3/2.4):
+    # hash-repartition the 8-byte key stream BEFORE the distinct agg and
+    # the derived-column compute.  The repartition's hashpartitioning(k)
+    # satisfies the DISTINCT's required distribution, so Catalyst adds no
+    # second exchange, and an explicit repartition(n, col) is exempt from
+    # AQE coalescing (which would otherwise shrink the tiny shuffle to
+    # 1-2 partitions and starve the CPU-bound Arrow extraction stage).
+    # The previous shape paid two exchanges — the AQE-coalesced DISTINCT
+    # plus a round-robin repartition (with its sort-before-repartition
+    # local sort, SPARK-23207) of the fully-derived ~100 B rows; now only
+    # the key column crosses the wire and derivation runs after.  Rows
+    # are identical: every column is a pure function of k (sqlgen).
+    # (A production Iceberg source has real file splits and skips this.)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = (lineitem
+            .selectExpr("CAST(l_orderkey AS BIGINT) * 8 "
+                        "+ CAST(l_linenumber AS BIGINT) AS k")
+            .repartition(spark.sparkContext.defaultParallelism, "k")
+            .distinct())
+    pts = keys.selectExpr(*sqlgen.points_exprs(
+        "spark", ["doc_key", "doc_id", "mx", "my", "textline"]))
     span = lambda kind, text, media, off: F.struct(  # noqa: E731
         F.lit(kind).alias("kind"),
         text.alias("text"),

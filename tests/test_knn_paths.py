@@ -248,3 +248,19 @@ def test_broadcast_gate_counts_salt(spark, sf_smoke):
     # explicit flags still win over the gate
     assert _bc_gates(spark, qs, big_salt, True) == (True, True)
     assert _bc_gates(spark, qs, 1, False) == (False, False)
+
+
+def test_cache_sizing_advisory(spark):
+    """VERDICT r6 item 3: the measured +29% eviction penalty is now a
+    code-level advisory — fires iff the estimated slim cache exceeds
+    aggregate executor storage; never changes behavior."""
+    from spatialgraft.ops.knn import _warn_if_cache_exceeds_storage
+    # tiny table: no warning
+    assert _warn_if_cache_exceeds_storage(spark, 1000) is False
+    # absurd row count (exabytes): must warn
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fired = _warn_if_cache_exceeds_storage(spark, 10**17)
+    assert fired is True
+    assert any("slim cache" in str(x.message) for x in w)

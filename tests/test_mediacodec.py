@@ -108,3 +108,15 @@ def test_media_decode_real_matches_oracle(spark, sf_smoke):
     assert (got["mean_val"].values == want["mean_val"].values).all()
     # both modalities actually present
     assert set(got["kind"]) == {"image", "audio"}
+
+
+def test_png_decode_size_guard():
+    """The pure-Python Average/Paeth defilter is scope-limited: images
+    beyond PY_DEFILTER_MAX_BYTES raise instead of decoding at Python
+    speed (VERDICT r6 item 5 — the C-codec swap-in point is named)."""
+    import pytest
+
+    big = np.zeros((300, 300), np.uint8)  # 90k > 64k guard
+    data = png_encode(big)
+    with pytest.raises(ValueError, match="pure-Python defilter scope"):
+        png_decode(data)

@@ -30,16 +30,26 @@ def test_partitioner_map_leaves_no_cache(spark, sf_correct):
     pts = with_geometry(datagen.documents_spans(spark, sf_correct))
     boxes = datagen.query_boxes(spark, sf_correct)
     plan = plan_partitions(pts.select("doc_key", "mx", "my"))
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    jjsc = spark.sparkContext._jsc
+
+    def pids() -> set[int]:
+        # id-set deltas, not counts: earlier tests' NON-BLOCKING
+        # unpersists can complete mid-test and shrink a raw count
+        # (observed as an order-dependent flake once r7 sped the
+        # preceding tests up); stale drops cannot perturb a delta
+        return {int(k) for k in
+                jjsc.getPersistentRDDs().keySet().toArray()}
+
+    before = pids()
     rops.range_join_count_salted(pts, boxes, plan).count()
-    assert jsc.getPersistentRDDs().size() == before
+    assert pids() - before == set()
     # eager salted kNN: only the returned (intentional) result persists
     qs = datagen.knn_queries(spark, sf_correct).limit(50)
     res = knn_join(pts, qs, k=5, plan=plan, materialize=True)
-    assert jsc.getPersistentRDDs().size() == before + 1
-    res.unpersist()
-    assert jsc.getPersistentRDDs().size() == before
+    new = pids() - before
+    assert len(new) == 1
+    res.unpersist(blocking=True)
+    assert pids() & new == set()
     plan.release()
     assert plan._df is None
     assert plan.to_df(spark).count() > 0  # rebuilds after release
