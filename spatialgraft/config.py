@@ -130,6 +130,21 @@ KNN_S2SPLIT = _os.environ.get("SPARK_GRAFT_KNN_S2SPLIT", "off").lower()
 KNN_S2SPLIT_THRESH = int(_os.environ.get(
     "SPARK_GRAFT_KNN_S2SPLIT_THRESH", "500000"))
 KNN_S2SPLIT_CAP = int(_os.environ.get("SPARK_GRAFT_KNN_S2SPLIT_CAP", "8"))
+# kNN slim-cache intra-partition ordering (VERDICT r6 item 4): "cell"
+# sorts the cached slim projection within partitions by the join keys
+# before persist, so a stage-2 probe of one cell touches contiguous
+# cache pages instead of random ones — an A/B candidate against the
+# measured 2.00x stage-2 core-s CPI inflation at the memory-bus-bound
+# 4N gate.  Bit-exact either way (row order never affects results: all
+# ranks order explicitly by (dist2, doc_key)).  Default follows the
+# gate A/B measurement (bench_records/r7_cache_sort_ab.jsonl).
+KNN_CACHE_SORT = _os.environ.get("SPARK_GRAFT_KNN_CACHE_SORT",
+                                 "off").lower()
+if KNN_CACHE_SORT not in ("off", "cell"):
+    raise ValueError(
+        f"SPARK_GRAFT_KNN_CACHE_SORT must be off|cell, "
+        f"got {KNN_CACHE_SORT!r}")
+
 if KNN_S2SPLIT not in ("off", "doc", "qid"):
     raise ValueError(
         f"SPARK_GRAFT_KNN_S2SPLIT must be off|doc|qid, "

@@ -61,8 +61,16 @@ def _triad(_: int) -> tuple[float, float]:
 
 
 def probe(procs: int) -> float:
-    """Aggregate triad GB/s with `procs` concurrent workers."""
-    with mp.Pool(procs) as pool:
+    """Aggregate triad GB/s with `procs` concurrent workers.
+
+    spawn, not fork (ADVICE r6): bench.py calls this inside the live
+    PySpark driver process, and forking a JVM-attached process with py4j
+    gateway threads/sockets held can deadlock on unlucky lock state.
+    Spawned children import nothing beyond numpy; the ~0.5 s start cost
+    sits outside every timed region by design (the probe brackets
+    measurements, it never runs inside them)."""
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(procs) as pool:
         res = pool.map(_triad, range(procs))
     total_bytes = sum(r[0] for r in res)
     wall = max(r[1] for r in res)

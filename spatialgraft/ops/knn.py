@@ -588,7 +588,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
              materialize: bool = False,
              cache_input: bool = True,
              s2split: str | None = None,
-             s2split_thresh: int | None = None) -> DataFrame:
+             s2split_thresh: int | None = None,
+             cache_sort: str | None = None) -> DataFrame:
     """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
     points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
     (dist2, doc_key).
@@ -609,6 +610,13 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     stage-2 cover fan-out ~64) against the session broadcast threshold,
     from the optimizer's plan-size estimate — no job runs.  True/False
     force.
+    cache_sort: "cell" orders the slim projection within partitions by
+    the join keys before it is cached (None = the
+    SPARK_GRAFT_KNN_CACHE_SORT env default, config.py) — stage-2 probes
+    of one cell then touch contiguous cache pages (A/B candidate
+    against the measured 2.00x stage-2 CPI inflation at the bus-bound
+    4N gate, VERDICT r6 item 4).  Bit-exact either way: row order never
+    affects results (all ranks order explicitly by (dist2, doc_key)).
     s2split / s2split_thresh: stage-2 hot-cell split (None = the
     SPARK_GRAFT_KNN_S2SPLIT env defaults, config.py).  "doc" or "qid"
     spreads the stage-2 probe of any cell holding more than
@@ -675,6 +683,11 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     s2mode = (s2split if s2split is not None else C.KNN_S2SPLIT).lower()
     if s2mode not in ("off", "doc", "qid"):
         raise ValueError(f"s2split must be off|doc|qid, got {s2split!r}")
+    csort = (cache_sort if cache_sort is not None
+             else C.KNN_CACHE_SORT).lower()
+    if csort not in ("off", "cell"):
+        raise ValueError(
+            f"cache_sort must be off|cell, got {cache_sort!r}")
     spark = points.sparkSession
     # effective salt multiplier of the multicast sides: with salt=N (or
     # a plan whose hottest cell splits N ways) the ring/cover rows are
@@ -734,6 +747,15 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     # shuffle in the whole join is this one slim-projection shuffle.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pts = pts.repartition(n_parts, *keys)
+    # cache_sort="cell" (VERDICT r6 item 4): order the slim projection
+    # within partitions by the join keys before it is cached, so every
+    # stage-2 probe of one cell reads contiguous cache pages (an A/B
+    # candidate against the measured 2.00x stage-2 CPI inflation on the
+    # bus-bound 4N gate).  sortWithinPartitions preserves the hash
+    # partitioning, so the exchange-free window clustering is untouched
+    # and results are bit-identical (tests/test_knn_paths.py twin).
+    if csort == "cell":
+        pts = pts.sortWithinPartitions(*keys)
     dense_thresh = 3 * k * C.KNN_SAMPLE_MOD
 
     if not materialize:

@@ -264,3 +264,19 @@ def test_cache_sizing_advisory(spark):
         fired = _warn_if_cache_exceeds_storage(spark, 10**17)
     assert fired is True
     assert any("slim cache" in str(x.message) for x in w)
+
+
+def test_cache_sort_bit_exact(spark, sf_smoke):
+    """cache_sort="cell" (VERDICT r6 item 4) only reorders rows inside
+    cache partitions — results must be bit-identical to the incumbent
+    in both the eager and lazy paths."""
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    base = (knn_join(pts, qs, k=5, materialize=True)
+            .toPandas().sort_values(["qid", "rnk"]).reset_index(drop=True))
+    srt = (knn_join(pts, qs, k=5, materialize=True, cache_sort="cell")
+           .toPandas().sort_values(["qid", "rnk"]).reset_index(drop=True))
+    assert base.equals(srt)
+    import pytest
+    with pytest.raises(ValueError, match="cache_sort"):
+        knn_join(pts, qs, k=5, cache_sort="bogus")
