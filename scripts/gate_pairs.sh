@@ -104,12 +104,16 @@ MINBW=${MINBW:-85}
 for i in $(seq 1 $PAIRS); do
   waited=0
   # one-Spark-JVM-at-a-time protocol (the r5 contaminated-A/B lesson):
-  # never probe, let alone fire, while any other Spark JVM is live
-  while pgrep -f "org.apache.spark" > /dev/null; do sleep 60; done
+  # never probe, let alone fire, while any other Spark JVM is live.
+  # Every sleep counts toward WAITMAX (ADVICE r6: unbounded JVM waits
+  # let a wedged/leaked JVM stall the window hunt forever).
+  while pgrep -f "org.apache.spark" > /dev/null && [ $waited -lt $WAITMAX ]; do
+    sleep 60; waited=$((waited+60)); done
   st=$(steal30); cal=$(probe); bw=$(python -m spatialgraft.membw 8 | python -c "import json,sys; print(json.load(sys.stdin)['membw_p8_gbs'])")
   while python -c "import sys; sys.exit(0 if (float('$cal') < $MINCAL or float('$st') > $MAXSTEAL or float('$bw') < $MINBW) else 1)" && [ $waited -lt $WAITMAX ]; do
-    sleep 30; waited=$((waited+60))
-    while pgrep -f "org.apache.spark" > /dev/null; do sleep 60; done
+    sleep 30; waited=$((waited+30))
+    while pgrep -f "org.apache.spark" > /dev/null && [ $waited -lt $WAITMAX ]; do
+      sleep 60; waited=$((waited+60)); done
     st=$(steal30); cal=$(probe); bw=$(python -m spatialgraft.membw 8 | python -c "import json,sys; print(json.load(sys.stdin)['membw_p8_gbs'])")
   done
   this_order=$ORDER

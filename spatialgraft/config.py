@@ -130,6 +130,17 @@ KNN_S2SPLIT = _os.environ.get("SPARK_GRAFT_KNN_S2SPLIT", "off").lower()
 KNN_S2SPLIT_THRESH = int(_os.environ.get(
     "SPARK_GRAFT_KNN_S2SPLIT_THRESH", "500000"))
 KNN_S2SPLIT_CAP = int(_os.environ.get("SPARK_GRAFT_KNN_S2SPLIT_CAP", "8"))
+# kNN eager-path intermediate persists (cand1 / stats): "1" (default)
+# persists both multi-consumer intermediates; "0" drops them and relies
+# on AQE exchange reuse — the expensive stage-1 map side (ring join +
+# pre-rank over the full cached input) ends at the qid exchange, so
+# identical consumer subtrees can share one shuffle (ReusedExchange)
+# and only the cheap post-exchange windows recompute.  A/B knob
+# (guide §5: cache only when recomputing costs more than the memory
+# pressure); results bit-identical either way.
+KNN_PERSIST_INT = _os.environ.get("SPARK_GRAFT_KNN_PERSIST_INT",
+                                  "1") == "1"
+
 # kNN slim-cache intra-partition ordering (VERDICT r6 item 4): "cell"
 # sorts the cached slim projection within partitions by the join keys
 # before persist, so a stage-2 probe of one cell touches contiguous

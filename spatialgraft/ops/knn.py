@@ -589,7 +589,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
              cache_input: bool = True,
              s2split: str | None = None,
              s2split_thresh: int | None = None,
-             cache_sort: str | None = None) -> DataFrame:
+             cache_sort: str | None = None,
+             persist_intermediates: bool | None = None) -> DataFrame:
     """For every query point (qid, qmx, qmy, qx, qy): its k nearest data
     points.  Returns (qid, doc_key, dist2, rnk), rnk 1..k by
     (dist2, doc_key).
@@ -688,6 +689,11 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
     if csort not in ("off", "cell"):
         raise ValueError(
             f"cache_sort must be off|cell, got {cache_sort!r}")
+    # eager-path intermediate persists (guide §5 A/B knob, config):
+    # False relies on AQE exchange reuse for the multi-consumer
+    # subtrees; bit-identical results either way
+    p_int = (C.KNN_PERSIST_INT if persist_intermediates is None
+             else bool(persist_intermediates))
     spark = points.sparkSession
     # effective salt multiplier of the multicast sides: with salt=N (or
     # a plan whose hottest cell splits N ways) the ring/cover rows are
@@ -846,7 +852,7 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int = C.DEFAULT_K,
         cell_counts, _ring_count_expr(sat_df), need,
         sampling_guard=(f"ring_sum < {dense_thresh} AND "
                         if any_dense else ""),
-        sample_stage1=any_dense, persist_intermediates=True,
+        sample_stage1=any_dense, persist_intermediates=p_int,
         # presence pruning drops cover rows in EMPTY cells, so its win
         # is bounded by the empty fraction: on a dense grid (sf0.1 is
         # ~70% occupied) the >1024-cell broadcast semi-join is pure
