@@ -40,6 +40,23 @@ def test_ring_expansion_matches_brute_force(spark, sf_smoke):
     _assert_same(knn_join(pts, qs, k=25), _brute(pts, qs, k=25))
 
 
+def test_eager_deep_expansion_matches_brute_force(spark, sf_smoke):
+    """EAGER-path deep SAT expansion vs brute force: k=150 at sf0.001
+    underfills every ring, so every query's stage-2 radius flows
+    through the eager expansion subtree (driver SAT array + explode-
+    radii pick).  The k150 contract query runs this exact path
+    (materialize=True); before r7 only the LAZY construction was
+    brute-force-gated at k=150.  Also the regression gate for any
+    future expansion rewrite — an r7 candidate (inline CASE-chain
+    radius pick) was measured 2x slower from lateral-alias expression
+    inlining and rejected (OPTIMIZATION_r07.md, bench_records/
+    r7_expandpick_ab_sf01.jsonl)."""
+    pts = with_geometry(datagen.documents_spans(spark, sf_smoke))
+    qs = datagen.knn_queries(spark, sf_smoke)
+    _assert_same(knn_join(pts, qs, k=150, materialize=True),
+                 _brute(pts, qs, k=150))
+
+
 def test_fewer_points_than_k(spark, sf_smoke):
     pts = with_geometry(datagen.documents_spans(spark, sf_smoke)).where(
         F.col("doc_key") % 997 == 0)
