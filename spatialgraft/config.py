@@ -148,7 +148,10 @@ KNN_PERSIST_INT = _os.environ.get("SPARK_GRAFT_KNN_PERSIST_INT",
 # measured 2.00x stage-2 core-s CPI inflation at the memory-bus-bound
 # 4N gate.  Bit-exact either way (row order never affects results: all
 # ranks order explicitly by (dist2, doc_key)).  Default follows the
-# gate A/B measurement (bench_records/r7_cache_sort_ab.jsonl).
+# gate A/B measurement (bench_records/r7_knn_ab4n_x2304.jsonl: the
+# cell leg read ~2x the clean incumbent bracket — stage 2 streams the
+# cache as the probe side, so the scan is sequential regardless of
+# intra-partition order and the added sort is pure cost).
 KNN_CACHE_SORT = _os.environ.get("SPARK_GRAFT_KNN_CACHE_SORT",
                                  "off").lower()
 if KNN_CACHE_SORT not in ("off", "cell"):
